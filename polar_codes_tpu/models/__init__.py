@@ -1,0 +1,29 @@
+from .detectors import (
+    Detector,
+    Dummy,
+    CRC8,
+    CRC16,
+    CRC32,
+    CRC6NR,
+    CRC11NR,
+    CRC16NR,
+    CRC24NRC,
+    CMAC,
+    make_detector,
+)
+from .encoder import PolarEncoder
+
+__all__ = [
+    "Detector",
+    "Dummy",
+    "CRC8",
+    "CRC16",
+    "CRC32",
+    "CRC6NR",
+    "CRC11NR",
+    "CRC16NR",
+    "CRC24NRC",
+    "CMAC",
+    "make_detector",
+    "PolarEncoder",
+]
