@@ -12,6 +12,8 @@ from .detectors import (
     make_detector,
 )
 from .encoder import PolarEncoder
+from .fastssc import FastSSCDecoder
+from .scl import SCLDecoder
 
 __all__ = [
     "Detector",
@@ -26,4 +28,6 @@ __all__ = [
     "CMAC",
     "make_detector",
     "PolarEncoder",
+    "FastSSCDecoder",
+    "SCLDecoder",
 ]

@@ -1,0 +1,278 @@
+"""Successive-cancellation list (SCL) decoder, batched over codewords x paths.
+
+Capability parity with SclAvxFloat
+(/root/reference/src/polarcode/decoding/scl_avx_float.cpp): specialized tree
+with RateZero / RateOne / Repetition / SPC leaves, LLR-based path metrics in
+the "higher is better" orientation (Balatsoukas-Stimming et al.), the
+Hashemi SSCL/SSCL-SPC candidate sets (RateOne: 2 weakest flips -> 4
+candidates/path, scl_avx_float.cpp:353-414; Repetition: 2 constant-codeword
+candidates :428; SPC: parity-adjusted 8-candidate table :498-586; RateZero:
+metric += sum(min(llr,0)) :316-337), and CRC-aided best-path extraction with
+maximum-likelihood fallback (extractBestPath :711-751).
+
+TPU-first inversion of the reference's lazy-copy-on-write path storage
+(datapool.txx lazyDuplicate): state is purely functional. Every tree node
+call maps [..., L, span] LLRs -> [..., L, span] bipolar decisions plus a
+path permutation `perm` [..., L] describing how list slots were re-parented
+by forks inside the subtree. Parents apply `perm` as a cheap gather on the
+list axis to their *live* local state only (the a/b halves and left bits) —
+the functional analogue of lazy COW that touches exactly the 2N-sized live
+recursion frontier instead of the full per-path LLR tree. Path pruning is
+one `lax.top_k` over the L*C candidate metrics, replacing
+simplePartialSortDescending.
+
+List bookkeeping: slots start as 1 active path (metric 0) and L-1 inactive
+slots at metric -1e30; inactive slots lose every top-k to any real candidate
+and are masked out of CRC extraction (the analogue of the reference's
+growing PathCount).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..construction import info_indices
+from ..ops.butterfly import butterfly_transform
+from ..ops.fg import f_minsum, g_update
+from .tree import CodeNode, NodeKind, build_tree
+from .detectors import Detector, Dummy
+
+_NEG = -1.0e30  # metric of an inactive list slot
+_ACTIVE_THRESHOLD = -1.0e29
+
+# SPC flip-membership tables [parity, candidate, weak-index], from the
+# reference's candidate construction (scl_avx_float.cpp:528-586).
+_SPC_FLIPS_EVEN = np.array(
+    [
+        [0, 0, 0, 0], [1, 1, 0, 0], [1, 0, 1, 0], [1, 0, 0, 1],
+        [0, 1, 1, 0], [0, 1, 0, 1], [0, 0, 1, 1], [1, 1, 1, 1],
+    ],
+    dtype=bool,
+)
+_SPC_FLIPS_ODD = np.array(
+    [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [1, 1, 1, 0], [1, 1, 0, 1], [1, 0, 1, 1], [0, 1, 1, 1],
+    ],
+    dtype=bool,
+)
+# Whether candidate c's metric includes the -m0 term when parity is even
+# (scl_avx_float.cpp:564-573); when parity is odd every candidate pays -m0.
+_SPC_M0_EVEN = np.array([0, 1, 1, 1, 0, 0, 0, 1], dtype=np.float32)
+# T_c: which of m1..m3 each candidate pays, for both parities.
+_SPC_T = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+        [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+    ],
+    dtype=np.float32,
+)
+
+
+def _take_paths(x, perm):
+    """Gather [..., L, S] state along the list axis by perm [..., L]."""
+    return jnp.take_along_axis(x, perm[..., None], axis=-2)
+
+
+def _sign(x):
+    """Bipolar hard decision; -0.0 -> -1 (sign-bit convention, avx_float.h)."""
+    return jnp.where(jnp.signbit(x), -1.0, 1.0).astype(x.dtype)
+
+
+class SCLDecoder:
+    """CRC-aided successive-cancellation list decoder.
+
+    Decodes [..., N] channel LLRs into the best of `list_size` candidate
+    paths; with a CRC detector attached this is CA-SCL, the reference's
+    north-star configuration.
+    """
+
+    def __init__(
+        self,
+        block_length: int,
+        frozen_bit_positions: Sequence[int],
+        list_size: int = 8,
+        systematic: bool = True,
+        detector: Optional[Detector] = None,
+    ):
+        n = block_length.bit_length() - 1
+        if (1 << n) != block_length:
+            raise ValueError(f"block length {block_length} is not a power of 2")
+        self.block_length = block_length
+        self.list_size = int(list_size)
+        self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
+        self.info_pos = info_indices(block_length, self.frozen)
+        self.info_length = int(self.info_pos.size)
+        self.systematic = systematic
+        self.detector = detector if detector is not None else Dummy()
+        self.tree: CodeNode = build_tree(block_length, self.frozen)
+
+    # ---- candidate pruning ------------------------------------------------
+
+    def _prune(self, metrics, deltas):
+        """Select the L best of L*C candidates.
+
+        metrics [..., L], deltas [..., L, C] -> (new metrics [..., L] sorted
+        descending, source path [..., L], candidate id [..., L])."""
+        n_cand = deltas.shape[-1]
+        cand = metrics[..., None] + deltas
+        flat = cand.reshape(cand.shape[:-2] + (self.list_size * n_cand,))
+        new_metrics, idx = jax.lax.top_k(flat, self.list_size)
+        return new_metrics, idx // n_cand, idx % n_cand
+
+    # ---- leaves -----------------------------------------------------------
+
+    def _leaf_rate0(self, llr, metrics):
+        bits = jnp.ones_like(llr)
+        metrics = metrics + jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
+        return bits, None, metrics
+
+    def _leaf_rate1(self, llr, metrics):
+        span = llr.shape[-1]
+        hard = _sign(llr)
+        mag = jnp.abs(llr)
+        if span == 1:
+            m0 = mag[..., 0]
+            deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=-1)
+            new_metrics, src, cand = self._prune(metrics, deltas)
+            bits = _take_paths(hard, src) * jnp.where(
+                (cand == 1)[..., None], -1.0, 1.0
+            )
+            return bits, src, new_metrics
+        neg_top, idx = jax.lax.top_k(-mag, 2)  # two weakest |llr| per path
+        m0, m1 = -neg_top[..., 0], -neg_top[..., 1]
+        zero = jnp.zeros_like(m0)
+        deltas = jnp.stack([zero, -m0, -m1, -m0 - m1], axis=-1)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        hard_g = _take_paths(hard, src)
+        i0 = jnp.take_along_axis(idx[..., 0], src, axis=-1)
+        i1 = jnp.take_along_axis(idx[..., 1], src, axis=-1)
+        pos = jnp.arange(span)
+        flip0 = ((cand == 1) | (cand == 3))[..., None] & (pos == i0[..., None])
+        flip1 = ((cand == 2) | (cand == 3))[..., None] & (pos == i1[..., None])
+        bits = hard_g * jnp.where(flip0 | flip1, -1.0, 1.0)
+        return bits, src, new_metrics
+
+    def _leaf_rep(self, llr, metrics):
+        d_zero = jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
+        d_one = -jnp.sum(jnp.maximum(llr, 0.0), axis=-1)
+        deltas = jnp.stack([d_zero, d_one], axis=-1)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        bits = jnp.where((cand == 0)[..., None], 1.0, -1.0).astype(llr.dtype)
+        bits = jnp.broadcast_to(bits, new_metrics.shape + (llr.shape[-1],))
+        return bits, src, new_metrics
+
+    def _leaf_spc(self, llr, metrics):
+        span = llr.shape[-1]
+        hard = _sign(llr)
+        mag = jnp.abs(llr)
+        neg_top, idx = jax.lax.top_k(-mag, 4)  # four weakest (span >= 4 by tree)
+        m = -neg_top  # [..., L, 4]
+        parity_odd = jnp.prod(hard, axis=-1) < 0
+        t_cost = m[..., 1:] @ jnp.asarray(_SPC_T.T)  # [..., L, 8]
+        m0 = m[..., 0:1]
+        delta_even = -jnp.asarray(_SPC_M0_EVEN) * m0 - t_cost
+        delta_odd = -m0 - t_cost
+        deltas = jnp.where(parity_odd[..., None], delta_odd, delta_even)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        hard_g = _take_paths(hard, src)
+        idx_g = _take_paths(idx, src)  # [..., L, 4]
+        parity_g = jnp.take_along_axis(
+            parity_odd.astype(jnp.int32), src, axis=-1
+        )
+        flip_table = jnp.asarray(
+            np.stack([_SPC_FLIPS_EVEN, _SPC_FLIPS_ODD])
+        )  # [2, 8, 4]
+        flips = flip_table[parity_g, cand]  # [..., L, 4] bool
+        pos = jnp.arange(span)
+        flip_mask = jnp.any(
+            flips[..., :, None] & (pos == idx_g[..., :, None]), axis=-2
+        )
+        bits = hard_g * jnp.where(flip_mask, -1.0, 1.0)
+        return bits, src, new_metrics
+
+    # ---- tree recursion (trace-time) --------------------------------------
+
+    def _decode_node(self, node: CodeNode, llr, metrics):
+        """[..., L, span] LLRs -> (bipolar bits, perm or None, metrics)."""
+        if node.kind == NodeKind.RATE0:
+            return self._leaf_rate0(llr, metrics)
+        if node.kind == NodeKind.RATE1:
+            return self._leaf_rate1(llr, metrics)
+        if node.kind == NodeKind.REP:
+            return self._leaf_rep(llr, metrics)
+        if node.kind == NodeKind.SPC:
+            return self._leaf_spc(llr, metrics)
+        half = node.length // 2
+        a, b = llr[..., :half], llr[..., half:]
+        left_bits, p_left, metrics = self._decode_node(
+            node.left, f_minsum(a, b), metrics
+        )
+        if p_left is not None:
+            a = _take_paths(a, p_left)
+            b = _take_paths(b, p_left)
+        right_bits, p_right, metrics = self._decode_node(
+            node.right, g_update(a, b, left_bits), metrics
+        )
+        if p_right is not None:
+            left_bits = _take_paths(left_bits, p_right)
+            perm = (
+                p_right
+                if p_left is None
+                else jnp.take_along_axis(p_left, p_right, axis=-1)
+            )
+        else:
+            perm = p_left
+        bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
+        return bits, perm, metrics
+
+    # ---- public API --------------------------------------------------------
+
+    def decode_paths(self, llr):
+        """[..., N] channel LLRs -> (codewords [..., L, N] {0,1},
+        metrics [..., L], active [..., L])."""
+        llr = jnp.asarray(llr, dtype=jnp.float32)
+        lead = llr.shape[:-1]
+        llr_l = jnp.broadcast_to(
+            llr[..., None, :], lead + (self.list_size, self.block_length)
+        )
+        metrics = jnp.full(lead + (self.list_size,), _NEG, dtype=jnp.float32)
+        metrics = metrics.at[..., 0].set(0.0)
+        bits, _, metrics = self._decode_node(self.tree, llr_l, metrics)
+        codewords = jnp.signbit(bits).astype(jnp.uint8)
+        active = metrics > _ACTIVE_THRESHOLD
+        return codewords, metrics, active
+
+    def decode(self, llr) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """[..., N] channel LLRs -> (info bits [..., K], codeword [..., N],
+        detector-ok [...]).
+
+        Best-path selection mirrors extractBestPath (scl_avx_float.cpp:711):
+        highest-metric path whose CRC checks; if none, the ML path."""
+        codewords, metrics, active = self.decode_paths(llr)
+        if self.systematic:
+            info_all = codewords[..., jnp.asarray(self.info_pos)]
+        else:
+            u = butterfly_transform(codewords)
+            info_all = u[..., jnp.asarray(self.info_pos)]
+        if self.detector.tail_bits:
+            ok_all = self.detector.check(info_all) & active
+        else:
+            ok_all = active
+        score_ok = jnp.where(ok_all, metrics, _NEG)
+        best_ok = jnp.argmax(score_ok, axis=-1)
+        best_ml = jnp.argmax(metrics, axis=-1)
+        any_ok = jnp.any(ok_all, axis=-1)
+        sel = jnp.where(any_ok, best_ok, best_ml)
+        info = jnp.take_along_axis(
+            info_all, sel[..., None, None], axis=-2
+        ).squeeze(-2)
+        codeword = jnp.take_along_axis(
+            codewords, sel[..., None, None], axis=-2
+        ).squeeze(-2)
+        detector_ok = any_ok if self.detector.tail_bits else jnp.ones_like(any_ok)
+        return info, codeword, detector_ok
