@@ -1,0 +1,118 @@
+"""Adaptive two-stage decoder: Fast-SSC first, SCL rerun on CRC failure.
+
+Capability parity with AdaptiveFloat / AdaptiveChar / AdaptiveMixed
+(/root/reference/src/polarcode/decoding/adaptive_float.cpp:33-45,
+adaptive_mixed.h:26-48): a cheap L=1 pass handles the vast majority of
+blocks; only blocks whose CRC fails are re-decoded with the list decoder.
+"Mixed" = int8 fast pass + float32 list pass (the reference's default
+precision 832).
+
+TPU-first batching: the reference re-decodes one failing block at a time;
+here the fast pass runs on the whole [batch, N] matrix, the CRC-fail mask
+is pulled to the host, failing rows are compacted into the smallest
+power-of-2 bucket, and one SCL call decodes them all. Buckets keep the set
+of compiled SCL shapes small (each bucket size compiles once); at a fast
+BLER of p the list-decoder cost scales with ~p*batch instead of batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .detectors import Detector, CRC32
+from .fastssc import FastSSCDecoder
+from .scl import SCLDecoder
+
+
+class AdaptiveDecoder:
+    """Fast-SSC + CA-SCL fallback for one (N, frozen-set) code."""
+
+    def __init__(
+        self,
+        block_length: int,
+        frozen_bit_positions: Sequence[int],
+        list_size: int = 8,
+        systematic: bool = True,
+        detector: Optional[Detector] = None,
+        fast_dtype=jnp.float32,
+    ):
+        # the adaptive scheme is meaningless without an error detector;
+        # the reference attaches CRC32 by default (decoder.cpp makeDecoder)
+        self.detector = detector if detector is not None else CRC32()
+        if not self.detector.tail_bits:
+            raise ValueError("AdaptiveDecoder requires a CRC/CMAC detector")
+        self.block_length = block_length
+        self.list_size = int(list_size)
+        self.systematic = systematic
+        self.fast = FastSSCDecoder(
+            block_length,
+            frozen_bit_positions,
+            systematic=systematic,
+            detector=self.detector,
+            dtype=fast_dtype,
+        )
+        self.list = SCLDecoder(
+            block_length,
+            frozen_bit_positions,
+            list_size=list_size,
+            systematic=systematic,
+            detector=self.detector,
+        )
+        self.info_length = self.fast.info_length
+        self.dtype = jnp.dtype(fast_dtype)
+        self._fast_fn = jax.jit(self.fast.decode)
+        self._list_fn = jax.jit(self.list.decode)
+
+    def decode(self, llr) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """[batch, N] (or [N]) LLRs -> (info [.., K], codeword [.., N], ok).
+
+        Host-orchestrated: the CRC mask of the fast pass selects the rows
+        that get the list pass (adaptive_float.cpp:33-45, batched)."""
+        llr = jnp.asarray(llr)
+        single = llr.ndim == 1
+        if single:
+            llr = llr[None, :]
+        flat = llr.reshape((-1, self.block_length))
+        info, codeword, ok = self._fast_fn(
+            flat.astype(self.fast.dtype)
+            if self.fast.dtype != jnp.int8
+            else flat
+        )
+        ok_np = np.asarray(ok)
+        failed = np.nonzero(~ok_np)[0]
+        if failed.size and self.list_size > 1:
+            bucket = 1 << (int(failed.size - 1)).bit_length()
+            bucket = min(bucket, flat.shape[0])
+            pad = np.zeros(bucket, dtype=np.int64)
+            pad[: failed.size] = failed
+            sub = jnp.asarray(flat, jnp.float32)[jnp.asarray(pad)]
+            s_info, s_code, s_ok = self._list_fn(sub)
+            take = jnp.asarray(failed)
+            src = jnp.arange(failed.size)
+            info = info.at[take].set(s_info[src].astype(info.dtype))
+            codeword = codeword.at[take].set(s_code[src].astype(codeword.dtype))
+            ok = ok.at[take].set(s_ok[src])
+        out_shape = llr.shape[:-1]
+        info = info.reshape(out_shape + (self.info_length,))
+        codeword = codeword.reshape(out_shape + (self.block_length,))
+        ok = ok.reshape(out_shape)
+        if single:
+            return info[0], codeword[0], ok[0]
+        return info, codeword, ok
+
+    def decode_fused(self, llr):
+        """Fully-on-device variant (no host sync): runs BOTH decoders on the
+        whole batch and selects per row — jit/shard_map-safe, preferable
+        when the fast-pass failure rate is high or host round-trips are
+        expensive (e.g. inside the mesh-sharded Monte-Carlo step)."""
+        f_info, f_code, f_ok = self.fast.decode(llr)
+        l_info, l_code, l_ok = self.list.decode(jnp.asarray(llr, jnp.float32))
+        use_fast = f_ok
+        info = jnp.where(use_fast[..., None], f_info, l_info.astype(f_info.dtype))
+        code = jnp.where(use_fast[..., None], f_code, l_code.astype(f_code.dtype))
+        ok = f_ok | l_ok
+        return info, code, ok

@@ -81,6 +81,10 @@ class PolarEncoder:
         checksum first (ButterflyFipPacked::encode, :47).
         """
         x = jnp.asarray(info_bits)
+        if x.shape[-1] != self.info_length:
+            raise ValueError(
+                f"expected {self.info_length} info bits, got {x.shape[-1]}"
+            )
         if generate_crc and self.detector.tail_bits:
             x = self.detector.generate(x)
         u = self.inject(x)
