@@ -14,6 +14,11 @@ from .detectors import (
 from .encoder import PolarEncoder
 from .fastssc import FastSSCDecoder
 from .scl import SCLDecoder
+from .adaptive import AdaptiveDecoder
+from .scan import ScanDecoder, FastSScanDecoder
+from .depthfirst import DepthFirstDecoder
+from .errorlocator import ErrorLocator
+from .puncturer import Puncturer
 
 __all__ = [
     "Detector",
@@ -30,4 +35,10 @@ __all__ = [
     "PolarEncoder",
     "FastSSCDecoder",
     "SCLDecoder",
+    "AdaptiveDecoder",
+    "ScanDecoder",
+    "FastSScanDecoder",
+    "DepthFirstDecoder",
+    "ErrorLocator",
+    "Puncturer",
 ]

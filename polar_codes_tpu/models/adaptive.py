@@ -31,6 +31,10 @@ from .scl import SCLDecoder
 class AdaptiveDecoder:
     """Fast-SSC + CA-SCL fallback for one (N, frozen-set) code."""
 
+    #: decode() syncs with the host to compact CRC failures; callers that
+    #: need a traceable decode must use decode_fused() instead
+    decode_is_host_orchestrated = True
+
     def __init__(
         self,
         block_length: int,

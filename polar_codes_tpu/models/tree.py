@@ -76,17 +76,34 @@ class CodeNode:
         )
 
 
-def classify(length: int, frozen: np.ndarray) -> NodeKind:
-    """Leaf classification, matching the reference's dispatch semantics."""
+ALL_LEAF_KINDS = frozenset(
+    {NodeKind.RATE0, NodeKind.RATE1, NodeKind.REP, NodeKind.SPC}
+)
+
+
+def classify(
+    length: int, frozen: np.ndarray, allowed=ALL_LEAF_KINDS
+) -> NodeKind:
+    """Leaf classification, matching the reference's dispatch semantics.
+
+    `allowed` restricts which leaf kinds may terminate recursion (the SCAN
+    decoders only collapse Rate-0/Rate-1 subtrees, fastsscan_float.cpp)."""
     n_frozen = len(frozen)
-    if n_frozen == length:
+    if n_frozen == length and NodeKind.RATE0 in allowed:
         return NodeKind.RATE0
-    if n_frozen == 0:
+    if n_frozen == 0 and NodeKind.RATE1 in allowed:
         return NodeKind.RATE1
-    if n_frozen == length - 1 and frozen[-1] == length - 2:
+    if length == 1:
+        # span-1 nodes are rate-0 or rate-1 by definition
+        return NodeKind.RATE0 if n_frozen else NodeKind.RATE1
+    if (
+        n_frozen == length - 1
+        and frozen[-1] == length - 2
+        and NodeKind.REP in allowed
+    ):
         # all frozen except the last position
         return NodeKind.REP
-    if n_frozen == 1 and frozen[0] == 0:
+    if n_frozen == 1 and frozen[0] == 0 and NodeKind.SPC in allowed:
         return NodeKind.SPC
     return NodeKind.BRANCH
 
@@ -95,15 +112,13 @@ def build_tree(
     block_length: int,
     frozen_bit_positions: Sequence[int],
     offset: int = 0,
-    min_leaf: int = 1,
+    allowed=ALL_LEAF_KINDS,
 ) -> CodeNode:
     """Recursively specialize the code defined by (N, frozen set).
 
-    min_leaf > 1 stops structural recursion early (unused today; hook for
-    scan-over-schedule large-N decoders).
-    """
+    `allowed` restricts the leaf kinds (see classify)."""
     frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
-    kind = classify(block_length, frozen)
+    kind = classify(block_length, frozen, allowed)
     node = CodeNode(offset=offset, length=block_length, frozen=frozen, kind=kind)
     if kind == NodeKind.BRANCH:
         if block_length == 1:
@@ -111,6 +126,6 @@ def build_tree(
         half = block_length // 2
         left_frozen = frozen[frozen < half]
         right_frozen = frozen[frozen >= half] - half
-        node.left = build_tree(half, left_frozen, offset, min_leaf)
-        node.right = build_tree(half, right_frozen, offset + half, min_leaf)
+        node.left = build_tree(half, left_frozen, offset, allowed)
+        node.right = build_tree(half, right_frozen, offset + half, allowed)
     return node

@@ -143,7 +143,7 @@ def snr_points(args) -> List[float]:
     return [args.snr_min + i * step for i in range(args.snr_count)]
 
 
-def run_jobs(args, job_params):
+def run_jobs(args, job_params, write=True):
     """job_params: list of (N, K, L-override or None, bps). Runs the SNR-
     inflated list (snrInflateJobList, simulator.cpp:384) and writes CSV."""
     import jax
@@ -180,9 +180,10 @@ def run_jobs(args, job_params):
                   f"delay[us]=[{r.time_min * 1e6:.1f};{r.time_max * 1e6:.1f}]"
                   f"({r.time_mean * 1e6:.1f})")
             results.append(r)
-    out = f"{args.output}_{args.simtype}.csv"
-    write_csv(out, results)
-    print(f"results written to {out}")
+    if write:
+        out = f"{args.output}_{args.simtype}.csv"
+        write_csv(out, results)
+        print(f"results written to {out}")
     return results
 
 
@@ -232,7 +233,9 @@ def main(argv=None):
             )
             sub = argparse.Namespace(**vars(args))
             sub.design_snr = d
-            results += run_jobs(sub, jobs)
+            results += run_jobs(sub, jobs, write=False)
+        from .montecarlo import write_csv
+        write_csv(f"{args.output}_{args.simtype}.csv", results)
         return 0
     elif args.simtype == "ask":
         jobs = [(n_len, int(n_len * rate), None, max(args.bps, 2))]
@@ -241,7 +244,10 @@ def main(argv=None):
         for amp in np.linspace(1.0, 128.0, 6):
             sub = argparse.Namespace(**vars(args))
             sub.amplification = float(amp)
-            results += run_jobs(sub, [(n_len, int(n_len * rate), None, 1)])
+            results += run_jobs(sub, [(n_len, int(n_len * rate), None, 1)],
+                                write=False)
+        from .montecarlo import write_csv
+        write_csv(f"{args.output}_{args.simtype}.csv", results)
         return 0
     elif args.simtype == "compareall":
         # reference preset (simulator.cpp:404-491): decoder family shoot-out
@@ -249,14 +255,18 @@ def main(argv=None):
         for prec, l in ((32, 1), (8, 1), (32, 8), (832, 8)):
             sub = argparse.Namespace(**vars(args))
             sub.precision, sub.pathlimit = prec, l
-            results += run_jobs(sub, [(n_len, int(n_len * rate), None, 1)])
+            results += run_jobs(sub, [(n_len, int(n_len * rate), None, 1)],
+                                write=False)
         for st in ("scan", "fastsscan", "depthfirst"):
             sub = argparse.Namespace(**vars(args))
             sub.simtype = st
             try:
-                results += run_jobs(sub, [(n_len, int(n_len * rate), None, 1)])
+                results += run_jobs(sub, [(n_len, int(n_len * rate), None, 1)],
+                                    write=False)
             except (ImportError, NotImplementedError) as e:
                 print(f"compareall: skipping {st} ({e})")
+        from .montecarlo import write_csv
+        write_csv(f"{args.output}_compareall.csv", results)
         return 0
     else:
         raise NotImplementedError(f"simtype {args.simtype}")

@@ -187,6 +187,13 @@ class MonteCarlo:
         }
 
     def _build(self):
+        # host-orchestrated decoders (AdaptiveDecoder) jit internally and
+        # expose decode_fused for traced contexts
+        host_side = getattr(self.decoder, "decode_is_host_orchestrated", False)
+        traced_decode = (
+            self.decoder.decode_fused if host_side else self.decoder.decode
+        )
+
         def gen(key, esn0_linear):
             return self._make_llr(key, esn0_linear)
 
@@ -198,12 +205,12 @@ class MonteCarlo:
             return self._count(info, decoded, ok)
 
         self._gen = jax.jit(gen)
-        self._dec = jax.jit(dec)
+        self._dec = dec if host_side else jax.jit(dec)
         self._cnt = jax.jit(count)
 
         def fused(key, esn0_linear):
             info, llr = self._make_llr(key, esn0_linear)
-            decoded, codeword, ok = self.decoder.decode(llr)
+            decoded, codeword, ok = traced_decode(llr)
             return self._count(info, decoded, ok)
 
         if self.mesh is not None:
