@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..construction import info_indices
 from ..ops.butterfly import butterfly_transform
-from ..ops.fg import f_minsum, g_update
+from ..ops.fg import f_minsum, g_update, f_minsum_i8, g_update_i8
 from .tree import CodeNode, NodeKind, build_tree
 from .detectors import Detector, Dummy
 
@@ -98,6 +98,7 @@ class SCLDecoder:
         list_size: int = 8,
         systematic: bool = True,
         detector: Optional[Detector] = None,
+        dtype=jnp.float32,
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -109,7 +110,49 @@ class SCLDecoder:
         self.info_length = int(self.info_pos.size)
         self.systematic = systematic
         self.detector = detector if detector is not None else Dummy()
+        # int8 = SclFipChar parity: LLR/bit state in int8 (halves the gather
+        # bandwidth of path forks), path metrics stay float32
+        self.dtype = jnp.dtype(dtype)
+        if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
+            raise ValueError("SCLDecoder supports float32 or int8 LLRs")
+        self._int8 = self.dtype == jnp.int8
         self.tree: CodeNode = build_tree(block_length, self.frozen)
+
+    # ---- dtype-generic arithmetic ----------------------------------------
+
+    def _fg(self):
+        if self._int8:
+            return f_minsum_i8, g_update_i8
+        return f_minsum, g_update
+
+    def _mag(self, llr):
+        """|llr| as float32 (metric domain)."""
+        if self._int8:
+            return jnp.abs(llr.astype(jnp.int16)).astype(jnp.float32)
+        return jnp.abs(llr)
+
+    def _min0sum(self, llr):
+        """sum(min(llr, 0)) as float32 over the last axis."""
+        if self._int8:
+            work = llr.astype(jnp.int32)
+            return jnp.sum(jnp.minimum(work, 0), axis=-1).astype(jnp.float32)
+        return jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
+
+    def _max0sum(self, llr):
+        if self._int8:
+            work = llr.astype(jnp.int32)
+            return jnp.sum(jnp.maximum(work, 0), axis=-1).astype(jnp.float32)
+        return jnp.sum(jnp.maximum(llr, 0.0), axis=-1)
+
+    def _hard(self, llr):
+        if self._int8:
+            return jnp.where(llr < 0, -1, 1).astype(jnp.int8)
+        return _sign(llr)
+
+    def _flip(self, mask):
+        """Bipolar flip factors from a boolean mask."""
+        one = jnp.asarray(1, self.dtype)
+        return jnp.where(mask, -one, one)
 
     # ---- candidate pruning ------------------------------------------------
 
@@ -128,20 +171,18 @@ class SCLDecoder:
 
     def _leaf_rate0(self, llr, metrics):
         bits = jnp.ones_like(llr)
-        metrics = metrics + jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
+        metrics = metrics + self._min0sum(llr)
         return bits, None, metrics
 
     def _leaf_rate1(self, llr, metrics):
         span = llr.shape[-1]
-        hard = _sign(llr)
-        mag = jnp.abs(llr)
+        hard = self._hard(llr)
+        mag = self._mag(llr)
         if span == 1:
             m0 = mag[..., 0]
             deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=-1)
             new_metrics, src, cand = self._prune(metrics, deltas)
-            bits = _take_paths(hard, src) * jnp.where(
-                (cand == 1)[..., None], -1.0, 1.0
-            )
+            bits = _take_paths(hard, src) * self._flip((cand == 1)[..., None])
             return bits, src, new_metrics
         neg_top, idx = jax.lax.top_k(-mag, 2)  # two weakest |llr| per path
         m0, m1 = -neg_top[..., 0], -neg_top[..., 1]
@@ -154,25 +195,25 @@ class SCLDecoder:
         pos = jnp.arange(span)
         flip0 = ((cand == 1) | (cand == 3))[..., None] & (pos == i0[..., None])
         flip1 = ((cand == 2) | (cand == 3))[..., None] & (pos == i1[..., None])
-        bits = hard_g * jnp.where(flip0 | flip1, -1.0, 1.0)
+        bits = hard_g * self._flip(flip0 | flip1)
         return bits, src, new_metrics
 
     def _leaf_rep(self, llr, metrics):
-        d_zero = jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
-        d_one = -jnp.sum(jnp.maximum(llr, 0.0), axis=-1)
+        d_zero = self._min0sum(llr)
+        d_one = -self._max0sum(llr)
         deltas = jnp.stack([d_zero, d_one], axis=-1)
         new_metrics, src, cand = self._prune(metrics, deltas)
-        bits = jnp.where((cand == 0)[..., None], 1.0, -1.0).astype(llr.dtype)
+        bits = self._flip((cand != 0)[..., None])
         bits = jnp.broadcast_to(bits, new_metrics.shape + (llr.shape[-1],))
         return bits, src, new_metrics
 
     def _leaf_spc(self, llr, metrics):
         span = llr.shape[-1]
-        hard = _sign(llr)
-        mag = jnp.abs(llr)
+        hard = self._hard(llr)
+        mag = self._mag(llr)
         neg_top, idx = jax.lax.top_k(-mag, 4)  # four weakest (span >= 4 by tree)
         m = -neg_top  # [..., L, 4]
-        parity_odd = jnp.prod(hard, axis=-1) < 0
+        parity_odd = jnp.prod(hard.astype(jnp.int32), axis=-1) < 0
         t_cost = m[..., 1:] @ jnp.asarray(_SPC_T.T)  # [..., L, 8]
         m0 = m[..., 0:1]
         delta_even = -jnp.asarray(_SPC_M0_EVEN) * m0 - t_cost
@@ -192,7 +233,7 @@ class SCLDecoder:
         flip_mask = jnp.any(
             flips[..., :, None] & (pos == idx_g[..., :, None]), axis=-2
         )
-        bits = hard_g * jnp.where(flip_mask, -1.0, 1.0)
+        bits = hard_g * self._flip(flip_mask)
         return bits, src, new_metrics
 
     # ---- tree recursion (trace-time) --------------------------------------
@@ -207,16 +248,17 @@ class SCLDecoder:
             return self._leaf_rep(llr, metrics)
         if node.kind == NodeKind.SPC:
             return self._leaf_spc(llr, metrics)
+        f_fn, g_fn = self._fg()
         half = node.length // 2
         a, b = llr[..., :half], llr[..., half:]
         left_bits, p_left, metrics = self._decode_node(
-            node.left, f_minsum(a, b), metrics
+            node.left, f_fn(a, b), metrics
         )
         if p_left is not None:
             a = _take_paths(a, p_left)
             b = _take_paths(b, p_left)
         right_bits, p_right, metrics = self._decode_node(
-            node.right, g_update(a, b, left_bits), metrics
+            node.right, g_fn(a, b, left_bits), metrics
         )
         if p_right is not None:
             left_bits = _take_paths(left_bits, p_right)
@@ -235,7 +277,7 @@ class SCLDecoder:
     def decode_paths(self, llr):
         """[..., N] channel LLRs -> (codewords [..., L, N] {0,1},
         metrics [..., L], active [..., L])."""
-        llr = jnp.asarray(llr, dtype=jnp.float32)
+        llr = jnp.asarray(llr, dtype=self.dtype)
         lead = llr.shape[:-1]
         llr_l = jnp.broadcast_to(
             llr[..., None, :], lead + (self.list_size, self.block_length)
@@ -243,7 +285,10 @@ class SCLDecoder:
         metrics = jnp.full(lead + (self.list_size,), _NEG, dtype=jnp.float32)
         metrics = metrics.at[..., 0].set(0.0)
         bits, _, metrics = self._decode_node(self.tree, llr_l, metrics)
-        codewords = jnp.signbit(bits).astype(jnp.uint8)
+        if self._int8:
+            codewords = (bits < 0).astype(jnp.uint8)
+        else:
+            codewords = jnp.signbit(bits).astype(jnp.uint8)
         active = metrics > _ACTIVE_THRESHOLD
         return codewords, metrics, active
 

@@ -32,6 +32,21 @@ def combine_bipolar(left, right):
     return left * right
 
 
+def f_minsum_i8(a, b):
+    """int8 min-sum f with int16 intermediate (fip_char.h F semantics)."""
+    a16, b16 = a.astype(jnp.int16), b.astype(jnp.int16)
+    sign = jnp.sign(a16) * jnp.sign(b16)
+    return (sign * jnp.minimum(jnp.abs(a16), jnp.abs(b16))).astype(jnp.int8)
+
+
+def g_update_i8(a, b, left_bipolar):
+    """int8 g with saturation to [-127,127] (fi_adds_epi8 semantics)."""
+    s = b.astype(jnp.int16) + left_bipolar.astype(jnp.int16) * a.astype(
+        jnp.int16
+    )
+    return jnp.clip(s, -127, 127).astype(jnp.int8)
+
+
 def split_llr(llr):
     """Split [..., 2m] node LLRs into (upper a, lower b) halves [..., m]."""
     m = llr.shape[-1] // 2

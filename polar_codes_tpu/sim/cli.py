@@ -131,8 +131,10 @@ def make_coders(n_len, k_len, args, detector):
                               systematic=systematic, detector=detector,
                               fast_dtype=jnp.int8)
     else:
+        dtype = jnp.int8 if args.precision == 8 else jnp.float32
         dec = SCLDecoder(n_len, frozen, list_size=list_size,
-                         systematic=systematic, detector=detector)
+                         systematic=systematic, detector=detector,
+                         dtype=dtype)
     return enc, dec
 
 

@@ -79,7 +79,10 @@ class Detector:
         if isinstance(d, _det.CMAC):
             value_bits = d.compute_np(bits)
             return int("".join(map(str, value_bits)), 2)
-        return _det.crc_msb_first(bits, d.poly, d.bits, d.init)
+        # native C++ engine when built (native/hostcodec.cpp), NumPy fallback
+        from polar_codes_tpu.utils import hostcodec
+
+        return hostcodec.crc_msb_first(bits, d.poly, d.bits, d.init)
 
     def generate(self, data):
         """Append the checksum bytes to `data` (detector_python.cc:46-65)."""

@@ -141,3 +141,42 @@ class TestCodingGain:
         err_scl = np.mean(np.any(np.asarray(got_scl)[:, :-8] != payload, axis=1))
         assert err_sc > 0.02  # operating point is in the waterfall
         assert err_scl < err_sc * 0.7  # list gain
+
+
+class TestInt8:
+    def test_int8_matches_float_at_high_amplification(self, rng):
+        """SclFipChar parity: int8 LLRs (amplified, saturating arithmetic)
+        must reach float32 BLER at a quantization-friendly operating point."""
+        from polar_codes_tpu.models.detectors import CRC16
+
+        n_len, k_len, list_size = 256, 128, 8
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        det = CRC16()
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        d32 = SCLDecoder(n_len, frozen, list_size=list_size, systematic=True,
+                         detector=det)
+        d8 = SCLDecoder(n_len, frozen, list_size=list_size, systematic=True,
+                        detector=det, dtype=jnp.int8)
+        info = rng.integers(0, 2, (256, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        tx = bpsk_modulate(enc.encode(jnp.asarray(info)))
+        rx = add_awgn(jax.random.PRNGKey(21), tx,
+                      esn0_linear=10 ** 0.15 * k_len / n_len)
+        rx8 = jnp.clip(jnp.round(rx * 10.0), -127, 127).astype(jnp.int8)
+        g32, _, _ = d32.decode(rx)
+        g8, _, _ = d8.decode(rx8)
+        b32 = np.any(np.asarray(g32) != sent, axis=1).mean()
+        b8 = np.any(np.asarray(g8) != sent, axis=1).mean()
+        assert b8 <= b32 + 0.03
+
+    def test_int8_noiseless(self, rng):
+        n_len, k_len = 128, 64
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        enc = PolarEncoder(n_len, frozen, systematic=True)
+        dec = SCLDecoder(n_len, frozen, list_size=4, systematic=True,
+                         dtype=jnp.int8)
+        info = rng.integers(0, 2, (8, k_len)).astype(np.uint8)
+        code = enc.encode(jnp.asarray(info))
+        llr = (bpsk_modulate(code) * 20).astype(jnp.int8)
+        decoded, _, _ = dec.decode(llr)
+        np.testing.assert_array_equal(np.asarray(decoded), info)
