@@ -45,15 +45,33 @@ def main():
     llr = add_awgn(jax.random.PRNGKey(1), bpsk_modulate(code), esn0_linear=esn0)
     llr = jax.device_put(llr)
 
-    fn = jax.jit(lambda x: dec.decode(x))
-    jax.block_until_ready(fn(llr))  # compile
+    # Timing: R decodes chained inside one jitted fori_loop with a data
+    # dependency between iterations, finished by a scalar fetch. This is
+    # robust against async-dispatch artifacts (a bare block_until_ready was
+    # observed returning early on the tunneled-TPU backend) and amortizes
+    # the host round-trip over R decodes.
+    reps = int(os.environ.get("BENCH_REPS", "10"))
 
-    # steady-state timing
-    reps, best = 5, float("inf")
-    for _ in range(reps):
+    def many(x):
+        def body(i, carry):
+            acc, cur = carry
+            info, _, ok = dec.decode(cur)
+            acc = acc + jnp.sum(info.astype(jnp.int32)) + jnp.sum(ok)
+            # negligible perturbation ties iteration i+1 to iteration i so
+            # the loop body cannot be hoisted as loop-invariant
+            cur = x + 1e-12 * acc.astype(jnp.float32)
+            return acc, cur
+
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), x))
+        return acc
+
+    fn = jax.jit(many)
+    float(fn(llr))  # compile + first run
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(llr))
-        best = min(best, time.perf_counter() - t0)
+        float(fn(llr))
+        best = min(best, (time.perf_counter() - t0) / reps)
 
     payload_bits = batch * (k_len - det.tail_bits)
     mbps = payload_bits / best / 1e6

@@ -14,7 +14,11 @@ from typing import Callable, Dict, Optional, Sequence
 import numpy as np
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.7 top-level API; experimental path kept as fallback
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def default_mesh(

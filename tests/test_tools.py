@@ -1,0 +1,134 @@
+"""Tools-layer tests: GF(2) helpers, 5G rate matching, strategies,
+analysis CSV parsing, tree rendering."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from polar_codes_tpu import tools
+from polar_codes_tpu.construction import frozen_bits
+from polar_codes_tpu.models.encoder import PolarEncoder
+
+
+class TestCodeTools:
+    def test_generator_matrix_matches_butterfly(self, rng):
+        from polar_codes_tpu.ops.butterfly import butterfly_transform
+
+        n = 64
+        g = tools.polar_generator_matrix(n)
+        u = rng.integers(0, 2, (4, n)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            (u @ g) % 2, np.asarray(butterfly_transform(jnp.asarray(u)))
+        )
+
+    def test_systematic_matrix_matches_encoder(self, rng):
+        n_len, k_len = 64, 40
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        g_sys = tools.systematic_encoder_matrix(n_len, frozen)
+        enc = PolarEncoder(n_len, frozen, systematic=True)
+        u = rng.integers(0, 2, (6, k_len)).astype(np.uint8)
+        want = np.asarray(enc.encode(jnp.asarray(u)))
+        np.testing.assert_array_equal((u @ g_sys) % 2, want)
+        # systematic property: info positions carry u verbatim
+        info_pos = tools.info_indices_from_frozen(frozen, n_len)
+        np.testing.assert_array_equal(((u @ g_sys) % 2)[:, info_pos], u)
+
+    def test_bit_reverse(self):
+        assert tools.bit_reverse(0b001, 3) == 0b100
+        vec = tools.bit_reversed_vector(3)
+        np.testing.assert_array_equal(vec, [0, 4, 2, 6, 1, 5, 3, 7])
+
+
+class TestFiveGTools:
+    def test_subblock_interleave_is_permutation(self):
+        for n in (32, 128, 512):
+            y = tools.nr_subblock_interleave(np.arange(n))
+            assert sorted(y) == list(range(n))
+
+    def test_rate_match_recover_roundtrip_puncture(self, rng):
+        n = 128
+        cw = rng.integers(0, 2, n).astype(np.uint8)
+        for e_len in (96, 128):
+            tx = tools.nr_rate_match(cw, e_len, mode="puncture")
+            assert tx.shape[-1] == e_len
+            llr = 1.0 - 2.0 * tx.astype(np.float64)
+            rec = tools.nr_rate_recover(llr, n, mode="puncture")
+            # transmitted positions agree in sign; punctured are neutral 0
+            hard = rec < 0
+            sent_mask = rec != 0
+            np.testing.assert_array_equal(
+                hard[sent_mask], cw.astype(bool)[sent_mask]
+            )
+            assert np.count_nonzero(sent_mask) == min(e_len, n)
+
+    def test_rate_match_repetition_combines(self, rng):
+        n = 32
+        cw = rng.integers(0, 2, n).astype(np.uint8)
+        tx = tools.nr_rate_match(cw, 48)
+        assert tx.shape[-1] == 48
+        llr = 1.0 - 2.0 * tx.astype(np.float64)
+        rec = tools.nr_rate_recover(llr, n)
+        hard = (rec < 0).astype(np.uint8)
+        np.testing.assert_array_equal(hard, cw)
+        # 16 positions were sent twice -> |llr| == 2
+        assert np.count_nonzero(np.abs(rec) == 2.0) == 16
+
+
+class TestStrategies:
+    def test_factory_matches_construction(self):
+        for kind in ("BB", "BE", "GA", "5G"):
+            gen = tools.get_frozen_bit_generator(kind, 128, 64, 1.0)
+            fb = gen.frozen_bit_positions()
+            assert fb.size == 64
+            assert gen.info_bit_positions().size == 64
+            assert np.intersect1d(fb, gen.info_bit_positions()).size == 0
+
+    def test_bb_agrees_with_frozen_bits(self):
+        gen = tools.get_frozen_bit_generator("BB", 256, 100, 2.0)
+        np.testing.assert_array_equal(
+            gen.frozen_bit_positions(), frozen_bits(256, 100, 2.0, "BB")
+        )
+
+
+class TestAnalysis:
+    def test_csv_roundtrip(self, tmp_path):
+        from polar_codes_tpu.sim.montecarlo import JobResult, write_csv
+
+        jobs = [
+            JobResult(N=128, K=64, designSNR=0.0, errorDetection=8, L=4,
+                      EbN0=e, BLER=0.1 / (i + 1), BER=0.01, RER=0.05,
+                      runs=1000, errors=17)
+            for i, e in enumerate((1.0, 2.0, 3.0))
+        ]
+        path = os.path.join(tmp_path, "t_single.csv")
+        write_csv(path, jobs)
+        rows = tools.read_results_csv(path)
+        assert len(rows) == 3
+        curves = tools.summarize_results(rows)
+        (key,) = curves.keys()
+        np.testing.assert_allclose(curves[key]["ebn0"], [1.0, 2.0, 3.0])
+        assert curves[key]["bler"][0] == pytest.approx(0.1)
+
+    def test_zero_rates_floored(self, tmp_path):
+        from polar_codes_tpu.sim.montecarlo import JobResult, write_csv
+
+        path = os.path.join(tmp_path, "z_single.csv")
+        write_csv(path, [JobResult(N=64, K=32, designSNR=0, errorDetection=0,
+                                   L=1, EbN0=5.0)])
+        text = open(path).read()
+        assert "1e-99" in text  # pcsim zero-rate floor (simulator.cpp:541)
+
+
+class TestVisualize:
+    def test_text_render(self):
+        txt = tools.render_tree_text(64, 32, 0.0)
+        assert "[0:64]" in txt
+        assert any(k in txt for k in ("rep", "spc", "rate0", "rate1"))
+
+    def test_figure_render(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        out = os.path.join(tmp_path, "tree.png")
+        tools.render_tree_figure(128, 64, 0.0, path=out)
+        assert os.path.getsize(out) > 1000
