@@ -53,9 +53,7 @@ def sharded_counter_step(
 
     def lifted(keys, *args):
         in_specs = (P(axis_name),) + tuple(P() for _ in args)
-        fn = shard_map(
-            inner, mesh=mesh, in_specs=in_specs, out_specs=P(), check_rep=False
-        )
+        fn = shard_map(inner, mesh=mesh, in_specs=in_specs, out_specs=P())
         return fn(keys, *args)
 
     return jax.jit(lifted)
