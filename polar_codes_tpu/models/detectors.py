@@ -357,10 +357,37 @@ class CMAC(Detector):
         return tag_bits[: self.tail_bits].astype(np.uint8)
 
     def generate(self, block_bits):
-        raise NotImplementedError("CMAC is host-side only; use generate_np")
+        """Batched tail fill via host callback (AES is not a device op; the
+        reference likewise runs CMAC on the host CPU, cmac.cpp)."""
+        import jax
+
+        x = jnp.asarray(block_bits)
+
+        def host(arr):
+            arr = np.asarray(arr, dtype=np.uint8)
+            flat = arr.reshape(-1, arr.shape[-1])
+            out = np.stack([self.generate_np(row) for row in flat])
+            return out.reshape(arr.shape)
+
+        return jax.pure_callback(
+            host, jax.ShapeDtypeStruct(x.shape, np.uint8), x
+        ).astype(x.dtype)
 
     def check(self, block_bits):
-        raise NotImplementedError("CMAC is host-side only; use check_np")
+        """Batched validity via host callback (multiCheck parity)."""
+        import jax
+
+        x = jnp.asarray(block_bits)
+
+        def host(arr):
+            arr = np.asarray(arr, dtype=np.uint8)
+            flat = arr.reshape(-1, arr.shape[-1])
+            res = np.array([self.check_np(row) for row in flat], dtype=bool)
+            return res.reshape(arr.shape[:-1])
+
+        return jax.pure_callback(
+            host, jax.ShapeDtypeStruct(x.shape[:-1], np.bool_), x
+        )
 
     def __hash__(self):
         return hash(("cmac", self.bits, self._key))

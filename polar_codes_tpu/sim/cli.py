@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=0,
                    help="mesh size; 0 = single device, no mesh")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    p.add_argument("--checkpoint", default="",
+                   help="npz path for chunk-level checkpoint/resume")
     return p
 
 
@@ -154,6 +156,11 @@ def run_jobs(args, job_params, write=True):
     from .montecarlo import MonteCarlo, write_csv
 
     mesh = default_mesh(args.devices) if args.devices else None
+    checkpoint = None
+    if getattr(args, "checkpoint", ""):
+        from .checkpoint import SweepCheckpoint
+
+        checkpoint = SweepCheckpoint(args.checkpoint)
     results = []
     for n_len, k_len, l_override, bps in job_params:
         local = argparse.Namespace(**vars(args))
@@ -176,7 +183,8 @@ def run_jobs(args, job_params, write=True):
             print(f"[job] N={n_len} K={k_len} L={local.pathlimit} "
                   f"dSNR={args.design_snr} det={args.error_detection} "
                   f"EbN0={snr:.3f}")
-            r = mc.run_job(snr, blocks, key=jax.random.PRNGKey(i))
+            r = mc.run_job(snr, blocks, key=jax.random.PRNGKey(i),
+                           checkpoint=checkpoint)
             print(f"  BLER={r.BLER:.4g} BER={r.BER:.4g} RER={r.RER:.4g} "
                   f"throughput={r.cbps / 1e6:.1f}Mbps "
                   f"delay[us]=[{r.time_min * 1e6:.1f};{r.time_max * 1e6:.1f}]"

@@ -232,14 +232,36 @@ class MonteCarlo:
         blocks: int,
         key: Optional[jax.Array] = None,
         warmup: bool = True,
+        checkpoint=None,
+        job_id: Optional[str] = None,
     ) -> JobResult:
-        """Simulate >= `blocks` codewords at one Eb/N0 point."""
+        """Simulate >= `blocks` codewords at one Eb/N0 point.
+
+        With `checkpoint` (sim.checkpoint.SweepCheckpoint), counters persist
+        after every chunk and a restarted job resumes mid-sweep with
+        identical PRNG streams."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        if checkpoint is not None and job_id is None:
+            enc = self.encoder
+            job_id = (
+                f"n{enc.block_length}_k{enc.info_length}_"
+                f"l{getattr(self.decoder, 'list_size', 1)}_snr{ebn0_db:.4f}"
+            )
         esn0 = jnp.float32(self.esn0_linear(ebn0_db))
         chunks = max(1, math.ceil(blocks / self._global_batch()))
         stats = {"runs": 0, "biterrors": 0, "errors": 0, "reported": 0}
         tstat = Statistics()
+        first_chunk = 0
+        if checkpoint is not None:
+            done = checkpoint.completed(job_id)
+            if done is not None:
+                return JobResult(**done)
+            st = checkpoint.job_state(job_id)
+            first_chunk = st["chunks_done"]
+            for k in stats:
+                stats[k] = st.get(k, 0)
+            tstat.values = list(st["times"])
 
         if warmup:  # compile + cache warm, not counted (simulator.cpp:644-651)
             wkey = jax.random.fold_in(key, 0xDEAD)
@@ -250,7 +272,7 @@ class MonteCarlo:
                 decoded, ok = self._dec(llr)
                 jax.block_until_ready(self._cnt(info, decoded, ok))
 
-        for i in range(chunks):
+        for i in range(first_chunk, chunks):
             ckey = jax.random.fold_in(key, i)
             if self.mesh is not None:
                 t0 = time.perf_counter()
@@ -267,6 +289,11 @@ class MonteCarlo:
             tstat.insert(dt / self._global_batch())  # per-block decode time
             for k in stats:
                 stats[k] += int(out[k])
+            if checkpoint is not None:
+                checkpoint.update(
+                    job_id,
+                    {"chunks_done": i + 1, "times": tstat.values, **stats},
+                )
 
         enc = self.encoder
         k_len, n_len = enc.info_length, enc.block_length
@@ -297,6 +324,10 @@ class MonteCarlo:
         r.ebps = self._measure_encoder_rate() * n_len
         r.time_min, r.time_max = tstat.min, tstat.max
         r.time_mean, r.time_dev = tstat.mean, tstat.dev
+        if checkpoint is not None:
+            from dataclasses import asdict
+
+            checkpoint.mark_complete(job_id, asdict(r))
         return r
 
     def run_snr_sweep(

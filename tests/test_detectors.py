@@ -184,3 +184,29 @@ class TestFactory:
             make_detector(12, "cmac")
         with pytest.raises(ValueError):
             make_detector(8, "nonsense")
+
+
+class TestCmacDevicePath:
+    def test_cmac_through_jitted_codec(self, rng):
+        """CMAC runs as a host callback under jit (the reference's
+        physical-layer-security configuration, cmac.cpp)."""
+        import jax
+        import jax.numpy as jnp
+        from polar_codes_tpu.construction import frozen_bits
+        from polar_codes_tpu.models.encoder import PolarEncoder
+        from polar_codes_tpu.models.fastssc import FastSSCDecoder
+        from polar_codes_tpu.models.detectors import CMAC
+        from polar_codes_tpu.dsp import bpsk_modulate
+
+        n_len, k_len = 128, 64
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        det = CMAC(32)
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        dec = FastSSCDecoder(n_len, frozen, systematic=True, detector=det)
+        info = rng.integers(0, 2, (8, k_len)).astype(np.uint8)
+        llr = np.array(bpsk_modulate(enc.encode(jnp.asarray(info))) * 8.0)
+        _, _, ok = jax.jit(dec.decode)(jnp.asarray(llr))
+        assert np.asarray(ok).all()
+        llr[0] = -llr[0]
+        _, _, ok2 = jax.jit(dec.decode)(jnp.asarray(llr))
+        assert not np.asarray(ok2)[0] and np.asarray(ok2)[1:].all()

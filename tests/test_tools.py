@@ -132,3 +132,48 @@ class TestVisualize:
         out = os.path.join(tmp_path, "tree.png")
         tools.render_tree_figure(128, 64, 0.0, path=out)
         assert os.path.getsize(out) > 1000
+
+
+class TestCheckpoint:
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path, rng):
+        """A job interrupted mid-sweep and resumed must produce exactly the
+        counters of an uninterrupted run (deterministic PRNG streams)."""
+        import jax
+        from polar_codes_tpu.models.fastssc import FastSSCDecoder
+        from polar_codes_tpu.sim.montecarlo import MonteCarlo
+        from polar_codes_tpu.sim.checkpoint import SweepCheckpoint
+
+        n_len, k_len = 64, 32
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        enc = PolarEncoder(n_len, frozen, systematic=True)
+        dec = FastSSCDecoder(n_len, frozen, systematic=True)
+        mc = MonteCarlo(enc, dec, batch=64)
+        key = jax.random.PRNGKey(3)
+
+        ref = mc.run_job(1.0, 64 * 4, key=key, warmup=False)
+
+        path = str(tmp_path / "ckpt.npz")
+        cp1 = SweepCheckpoint(path)
+        # simulate interruption: run only 2 of 4 chunks by lying about blocks
+        mc.run_job(1.0, 64 * 2, key=key, warmup=False, checkpoint=cp1,
+                   job_id="job")
+        st = cp1.job_state("job")
+        assert st["chunks_done"] == 2
+        # the 2-chunk job wrote its completion marker; wipe it to emulate a
+        # crash after chunk 2 of the real 4-chunk job
+        st.pop("complete", None)
+        st.pop("result", None)
+        cp1.update("job", st)
+
+        cp2 = SweepCheckpoint(path)
+        resumed = cp2.job_state("job")
+        assert resumed["chunks_done"] == 2
+        got = mc.run_job(1.0, 64 * 4, key=key, warmup=False, checkpoint=cp2,
+                         job_id="job")
+        assert got.runs == ref.runs
+        assert got.errors == ref.errors
+        assert got.biterrors == ref.biterrors
+        # completed job short-circuits on the next call
+        again = mc.run_job(1.0, 64 * 4, key=key, warmup=False,
+                           checkpoint=cp2, job_id="job")
+        assert again.errors == got.errors
