@@ -37,7 +37,7 @@ def main():
     )
 
     # realistic noisy input at the 2 dB operating point
-    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     rng = np.random.default_rng(0)
     info = rng.integers(0, 2, (batch, k_len)).astype(np.uint8)
     code = enc.encode(jnp.asarray(info))
@@ -45,33 +45,13 @@ def main():
     llr = add_awgn(jax.random.PRNGKey(1), bpsk_modulate(code), esn0_linear=esn0)
     llr = jax.device_put(llr)
 
-    # Timing: R decodes chained inside one jitted fori_loop with a data
-    # dependency between iterations, finished by a scalar fetch. This is
-    # robust against async-dispatch artifacts (a bare block_until_ready was
-    # observed returning early on the tunneled-TPU backend) and amortizes
-    # the host round-trip over R decodes.
-    reps = int(os.environ.get("BENCH_REPS", "10"))
+    # Timing: chained decodes inside jitted fori_loops, slope-differenced
+    # to cancel the tunneled backend's large fixed per-call overhead and
+    # its async-dispatch artifacts (utils/timing.py).
+    from polar_codes_tpu.utils.timing import time_device_fn
 
-    def many(x):
-        def body(i, carry):
-            acc, cur = carry
-            info, _, ok = dec.decode(cur)
-            acc = acc + jnp.sum(info.astype(jnp.int32)) + jnp.sum(ok)
-            # negligible perturbation ties iteration i+1 to iteration i so
-            # the loop body cannot be hoisted as loop-invariant
-            cur = x + 1e-12 * acc.astype(jnp.float32)
-            return acc, cur
-
-        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), x))
-        return acc
-
-    fn = jax.jit(many)
-    float(fn(llr))  # compile + first run
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fn(llr))
-        best = min(best, (time.perf_counter() - t0) / reps)
+    reps = int(os.environ.get("BENCH_REPS", "8"))
+    best = time_device_fn(lambda x: dec.decode(x), llr, reps=reps)
 
     payload_bits = batch * (k_len - det.tail_bits)
     mbps = payload_bits / best / 1e6

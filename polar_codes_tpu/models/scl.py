@@ -99,6 +99,8 @@ class SCLDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
+        enum_span: int = 16,
+        max_enum_k: int = 6,
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -116,7 +118,20 @@ class SCLDecoder:
         if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
             raise ValueError("SCLDecoder supports float32 or int8 LLRs")
         self._int8 = self.dtype == jnp.int8
-        self.tree: CodeNode = build_tree(block_length, self.frozen)
+        # ENUM leaves flatten small mixed-rate subtrees into one exhaustive
+        # ML-enumeration node (one batched matmul; see _leaf_enum). With
+        # L=1 they would be *less* greedy than SC (pruning after the leaf
+        # instead of after every bit), so L=1 keeps the reference tree to
+        # preserve bit-exact SC equivalence.
+        if self.list_size == 1:
+            enum_span = 0
+        self.enum_span = enum_span
+        self.max_enum_k = max_enum_k
+        self.tree: CodeNode = build_tree(
+            block_length, self.frozen,
+            enum_span=enum_span, max_enum_k=max_enum_k,
+        )
+        self._enum_tables = {}
 
     # ---- dtype-generic arithmetic ----------------------------------------
 
@@ -236,6 +251,50 @@ class SCLDecoder:
         bits = hard_g * self._flip(flip_mask)
         return bits, src, new_metrics
 
+    def _enum_table(self, node: CodeNode) -> np.ndarray:
+        """[n_cand, span] bipolar codeword matrix of the leaf subcode."""
+        key = (node.length, tuple(int(i) for i in node.frozen))
+        table = self._enum_tables.get(key)
+        if table is None:
+            span, frozen = node.length, node.frozen
+            info = np.setdiff1d(np.arange(span), frozen)
+            k = info.size
+            u = np.zeros((1 << k, span), dtype=np.uint8)
+            patterns = (
+                np.arange(1 << k)[:, None] >> np.arange(k - 1, -1, -1)
+            ) & 1
+            u[:, info] = patterns
+            x = u.copy()  # butterfly on the host (tiny)
+            s = 1
+            while s < span:
+                for i in range(0, span, 2 * s):
+                    x[:, i : i + s] ^= x[:, i + s : i + 2 * s]
+                s *= 2
+            table = (1.0 - 2.0 * x).astype(np.float32)
+            self._enum_tables[key] = table
+        return table
+
+    def _leaf_enum(self, node: CodeNode, llr, metrics):
+        """Exhaustive ML leaf: enumerate all subcode codewords, score each
+        with the aggregate min-sum metric in one batched matmul.
+
+        The min-sum SCL path metric telescopes to the codeword-domain
+        disagreement sum  PM(x) = sum_i min((1-2x_i) llr_i, 0)
+        = ((1-2x)·llr - sum|llr|)/2,  so scoring every codeword is one
+        [.., L, span] x [span, n_cand] contraction (MXU) and the result is
+        *exact* bitwise SCL over the leaf — no candidate restriction."""
+        table = self._enum_table(node)  # [n_cand, span] bipolar
+        work = llr.astype(jnp.float32) if self._int8 else llr
+        scores = jnp.einsum(
+            "...ls,cs->...lc", work, jnp.asarray(table),
+            preferred_element_type=jnp.float32,
+        )
+        sum_abs = jnp.sum(jnp.abs(work), axis=-1, keepdims=True)
+        deltas = 0.5 * (scores - sum_abs)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        bits = jnp.asarray(table, dtype=self.dtype)[cand]  # [..., L, span]
+        return bits, src, new_metrics
+
     # ---- tree recursion (trace-time) --------------------------------------
 
     def _decode_node(self, node: CodeNode, llr, metrics):
@@ -244,6 +303,8 @@ class SCLDecoder:
             return self._leaf_rate0(llr, metrics)
         if node.kind == NodeKind.RATE1:
             return self._leaf_rate1(llr, metrics)
+        if node.kind == NodeKind.ENUM:
+            return self._leaf_enum(node, llr, metrics)
         if node.kind == NodeKind.REP:
             return self._leaf_rep(llr, metrics)
         if node.kind == NodeKind.SPC:
@@ -255,8 +316,9 @@ class SCLDecoder:
             node.left, f_fn(a, b), metrics
         )
         if p_left is not None:
-            a = _take_paths(a, p_left)
-            b = _take_paths(b, p_left)
+            # one gather of the whole parent span instead of two halves
+            llr_g = _take_paths(llr, p_left)
+            a, b = llr_g[..., :half], llr_g[..., half:]
         right_bits, p_right, metrics = self._decode_node(
             node.right, g_fn(a, b, left_bits), metrics
         )

@@ -33,6 +33,7 @@ class NodeKind(enum.Enum):
     RATE1 = "rate1"
     REP = "rep"
     SPC = "spc"
+    ENUM = "enum"  # small subcode decoded by exhaustive ML enumeration
     BRANCH = "branch"
 
 
@@ -82,12 +83,19 @@ ALL_LEAF_KINDS = frozenset(
 
 
 def classify(
-    length: int, frozen: np.ndarray, allowed=ALL_LEAF_KINDS
+    length: int,
+    frozen: np.ndarray,
+    allowed=ALL_LEAF_KINDS,
+    enum_span: int = 0,
+    max_enum_k: int = 0,
 ) -> NodeKind:
     """Leaf classification, matching the reference's dispatch semantics.
 
     `allowed` restricts which leaf kinds may terminate recursion (the SCAN
-    decoders only collapse Rate-0/Rate-1 subtrees, fastsscan_float.cpp)."""
+    decoders only collapse Rate-0/Rate-1 subtrees, fastsscan_float.cpp).
+    With enum_span/max_enum_k set, small mixed-rate subcodes become ENUM
+    leaves (exhaustive ML enumeration; subsumes REP and small SPC/RateR
+    subtrees in one node)."""
     n_frozen = len(frozen)
     if n_frozen == length and NodeKind.RATE0 in allowed:
         return NodeKind.RATE0
@@ -96,6 +104,12 @@ def classify(
     if length == 1:
         # span-1 nodes are rate-0 or rate-1 by definition
         return NodeKind.RATE0 if n_frozen else NodeKind.RATE1
+    if (
+        enum_span
+        and length <= enum_span
+        and 1 <= length - n_frozen <= max_enum_k
+    ):
+        return NodeKind.ENUM
     if (
         n_frozen == length - 1
         and frozen[-1] == length - 2
@@ -113,12 +127,15 @@ def build_tree(
     frozen_bit_positions: Sequence[int],
     offset: int = 0,
     allowed=ALL_LEAF_KINDS,
+    enum_span: int = 0,
+    max_enum_k: int = 0,
 ) -> CodeNode:
     """Recursively specialize the code defined by (N, frozen set).
 
-    `allowed` restricts the leaf kinds (see classify)."""
+    `allowed` restricts the leaf kinds; enum_span/max_enum_k enable ENUM
+    leaves (see classify)."""
     frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
-    kind = classify(block_length, frozen, allowed)
+    kind = classify(block_length, frozen, allowed, enum_span, max_enum_k)
     node = CodeNode(offset=offset, length=block_length, frozen=frozen, kind=kind)
     if kind == NodeKind.BRANCH:
         if block_length == 1:
@@ -126,6 +143,10 @@ def build_tree(
         half = block_length // 2
         left_frozen = frozen[frozen < half]
         right_frozen = frozen[frozen >= half] - half
-        node.left = build_tree(half, left_frozen, offset, allowed)
-        node.right = build_tree(half, right_frozen, offset + half, allowed)
+        node.left = build_tree(
+            half, left_frozen, offset, allowed, enum_span, max_enum_k
+        )
+        node.right = build_tree(
+            half, right_frozen, offset + half, allowed, enum_span, max_enum_k
+        )
     return node

@@ -41,25 +41,48 @@ def time_device_fn(
     tries: int = 3,
     perturb: Callable = None,
 ) -> float:
-    """Best-of-`tries` seconds per execution of fn(x) on device."""
+    """Seconds per execution of fn(x) on device, fixed-overhead-corrected.
+
+    The tunneled backend adds a large constant cost (~tens of ms) to every
+    jitted call, so a single timed call overstates small kernels wildly.
+    We run the chained loop at `reps` and `2*reps` iterations and take the
+    slope — the constant cancels exactly."""
     if perturb is None:
         perturb = _default_perturb
 
-    def many(x0):
-        def body(i, carry):
-            acc, cur = carry
-            out = fn(cur)
-            acc = acc + _outputs_to_scalar(out)
-            return acc, perturb(x0, acc)
+    def make(n):
+        def many(x0):
+            def body(i, carry):
+                acc, cur = carry
+                out = fn(cur)
+                acc = acc + _outputs_to_scalar(out)
+                return acc, perturb(x0, acc)
 
-        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), x0))
-        return acc
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), x0))
+            return acc
 
-    jfn = jax.jit(many)
-    float(jfn(x))  # compile + warm
+        return jax.jit(many)
+
+    # pilot: upper-bound estimate including the constant call overhead
+    pilot = make(reps)
+    float(pilot(x))  # compile + warm
+    t0 = time.perf_counter()
+    float(pilot(x))
+    est = (time.perf_counter() - t0) / reps
+    # choose reps so the differenced window is ~0.2 s — far above the
+    # per-call jitter of the constant overhead (capped: long device loops
+    # have wedged the tunneled backend)
+    reps = max(reps, min(512, int(0.2 / max(est, 1e-7))))
+
+    f1, f2 = make(reps), make(2 * reps)
+    float(f1(x))
+    float(f2(x))  # compile + warm both
     best = float("inf")
     for _ in range(tries):
         t0 = time.perf_counter()
-        float(jfn(x))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+        float(f1(x))
+        t1 = time.perf_counter()
+        float(f2(x))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / reps)
+    return max(best, 1e-9)
