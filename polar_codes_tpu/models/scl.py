@@ -101,6 +101,7 @@ class SCLDecoder:
         dtype=jnp.float32,
         enum_span: int = 16,
         max_enum_k: int = 6,
+        layout: str = "batch_first",
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -127,6 +128,13 @@ class SCLDecoder:
             enum_span = 0
         self.enum_span = enum_span
         self.max_enum_k = max_enum_k
+        # batch_last keeps per-path state as [L, span, batch] so the batch
+        # axis fills the 128-wide VPU lanes at EVERY tree node; batch_first
+        # ([.., L, span]) puts the (small, deep-node) span on the lanes and
+        # wastes most of them. Same math, same results.
+        if layout not in ("batch_last", "batch_first"):
+            raise ValueError(f"unknown layout {layout}")
+        self.layout = layout
         self.tree: CodeNode = build_tree(
             block_length, self.frozen,
             enum_span=enum_span, max_enum_k=max_enum_k,
@@ -175,11 +183,30 @@ class SCLDecoder:
         """Select the L best of L*C candidates.
 
         metrics [..., L], deltas [..., L, C] -> (new metrics [..., L] sorted
-        descending, source path [..., L], candidate id [..., L])."""
+        descending, source path [..., L], candidate id [..., L]).
+
+        For wide candidate lists (ENUM leaves, C up to 2^max_enum_k) a
+        per-path top-L pre-prune shrinks the global top_k input from L*C to
+        L*L — no survivor can rank better than L-th within its own path."""
         n_cand = deltas.shape[-1]
+        n_list = self.list_size
         cand = metrics[..., None] + deltas
-        flat = cand.reshape(cand.shape[:-2] + (self.list_size * n_cand,))
-        new_metrics, idx = jax.lax.top_k(flat, self.list_size)
+        if n_cand > n_list:
+            local_vals, local_idx = jax.lax.top_k(cand, n_list)
+            flat = local_vals.reshape(
+                local_vals.shape[:-2] + (n_list * n_list,)
+            )
+            new_metrics, idx = jax.lax.top_k(flat, n_list)
+            src = idx // n_list
+            local_pos = idx % n_list
+            cand_id = jnp.take_along_axis(
+                local_idx.reshape(local_idx.shape[:-2] + (n_list * n_list,)),
+                src * n_list + local_pos,
+                axis=-1,
+            )
+            return new_metrics, src, cand_id
+        flat = cand.reshape(cand.shape[:-2] + (n_list * n_cand,))
+        new_metrics, idx = jax.lax.top_k(flat, n_list)
         return new_metrics, idx // n_cand, idx % n_cand
 
     # ---- leaves -----------------------------------------------------------
@@ -334,6 +361,179 @@ class SCLDecoder:
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
         return bits, perm, metrics
 
+    # ---- batch-last ([L, span, batch]) implementation ---------------------
+
+    def _bl_take(self, x, perm):
+        """Gather [L, S, B] state along the path axis by perm [B, L]."""
+        return jnp.take_along_axis(x, perm.T[:, None, :], axis=0)
+
+    def _bl_min0sum(self, llr):
+        """sum(min(llr,0)) over the span -> [B, L] float32."""
+        work = llr.astype(jnp.int32) if self._int8 else llr
+        return jnp.sum(jnp.minimum(work, 0), axis=1).T.astype(jnp.float32)
+
+    def _bl_max0sum(self, llr):
+        work = llr.astype(jnp.int32) if self._int8 else llr
+        return jnp.sum(jnp.maximum(work, 0), axis=1).T.astype(jnp.float32)
+
+    def _bl_weakest(self, mag, count: int):
+        """`count` smallest values + indices along the span of [L, S, B].
+
+        Returns (m [B, L, count] float32, idx [count] list of [L, B])."""
+        vals, idxs = [], []
+        cur = mag
+        big = jnp.asarray(jnp.inf, mag.dtype)
+        span = mag.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, span, 1), 1)
+        for _ in range(count):
+            m = jnp.min(cur, axis=1)  # [L, B]
+            i = jnp.argmin(cur, axis=1)  # [L, B]
+            vals.append(m.astype(jnp.float32))
+            idxs.append(i)
+            cur = jnp.where(iota == i[:, None, :], big, cur)
+        m_blc = jnp.stack(vals, axis=-1).transpose(1, 0, 2)  # [B, L, count]
+        return m_blc, idxs
+
+    def _bl_leaf_rate0(self, llr, metrics):
+        return jnp.ones_like(llr), None, metrics + self._bl_min0sum(llr)
+
+    def _bl_leaf_rate1(self, llr, metrics):
+        span = llr.shape[1]
+        hard = self._hard(llr)
+        mag = jnp.abs(llr.astype(jnp.float32)) if self._int8 else jnp.abs(llr)
+        if span == 1:
+            m0 = mag[:, 0, :].T.astype(jnp.float32)  # [B, L]
+            deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=-1)
+            new_metrics, src, cand = self._prune(metrics, deltas)
+            bits = self._bl_take(hard, src) * self._flip(
+                (cand == 1).T[:, None, :]
+            )
+            return bits, src, new_metrics
+        m, idx = self._bl_weakest(mag, 2)
+        m0, m1 = m[..., 0], m[..., 1]
+        zero = jnp.zeros_like(m0)
+        deltas = jnp.stack([zero, -m0, -m1, -m0 - m1], axis=-1)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        hard_g = self._bl_take(hard, src)
+        i0 = jnp.take_along_axis(idx[0], src.T, axis=0)  # [L, B]
+        i1 = jnp.take_along_axis(idx[1], src.T, axis=0)
+        cand_t = cand.T  # [L, B]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, span, 1), 1)
+        flip0 = ((cand_t == 1) | (cand_t == 3))[:, None, :] & (
+            iota == i0[:, None, :]
+        )
+        flip1 = ((cand_t == 2) | (cand_t == 3))[:, None, :] & (
+            iota == i1[:, None, :]
+        )
+        bits = hard_g * self._flip(flip0 | flip1)
+        return bits, src, new_metrics
+
+    def _bl_leaf_rep(self, llr, metrics):
+        d_zero = self._bl_min0sum(llr)
+        d_one = -self._bl_max0sum(llr)
+        deltas = jnp.stack([d_zero, d_one], axis=-1)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        bits = jnp.broadcast_to(
+            self._flip((cand != 0).T[:, None, :]), llr.shape
+        )
+        return bits, src, new_metrics
+
+    def _bl_leaf_spc(self, llr, metrics):
+        span = llr.shape[1]
+        hard = self._hard(llr)
+        mag = jnp.abs(llr.astype(jnp.float32)) if self._int8 else jnp.abs(llr)
+        m, idx = self._bl_weakest(mag, 4)  # m [B, L, 4]
+        neg = jnp.sum((hard < 0).astype(jnp.int32), axis=1)  # [L, B]
+        parity_odd = (neg % 2 == 1).T  # [B, L]
+        t_cost = m[..., 1:] @ jnp.asarray(_SPC_T.T)  # [B, L, 8]
+        m0 = m[..., 0:1]
+        delta_even = -jnp.asarray(_SPC_M0_EVEN) * m0 - t_cost
+        delta_odd = -m0 - t_cost
+        deltas = jnp.where(parity_odd[..., None], delta_odd, delta_even)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        hard_g = self._bl_take(hard, src)
+        parity_g = jnp.take_along_axis(
+            parity_odd.astype(jnp.int32), src, axis=-1
+        )  # [B, L]
+        flip_table = jnp.asarray(np.stack([_SPC_FLIPS_EVEN, _SPC_FLIPS_ODD]))
+        flips = flip_table[parity_g, cand]  # [B, L, 4] bool
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, span, 1), 1)
+        flip_mask = jnp.zeros(hard_g.shape, dtype=bool)
+        for j in range(4):
+            ij = jnp.take_along_axis(idx[j], src.T, axis=0)  # [L, B]
+            fj = flips[..., j].T  # [L, B]
+            flip_mask = flip_mask | (
+                fj[:, None, :] & (iota == ij[:, None, :])
+            )
+        bits = hard_g * self._flip(flip_mask)
+        return bits, src, new_metrics
+
+    def _bl_leaf_enum(self, node, llr, metrics):
+        table = self._enum_table(node)  # [n_cand, span] bipolar
+        work = llr.astype(jnp.float32) if self._int8 else llr
+        scores = jnp.einsum(
+            "lsb,cs->blc", work, jnp.asarray(table),
+            preferred_element_type=jnp.float32,
+        )
+        sum_abs = jnp.sum(jnp.abs(work), axis=1).T[..., None]  # [B, L, 1]
+        deltas = 0.5 * (scores - sum_abs)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        # bits[l, s, b] = table[cand[b, l], s]
+        bits = jnp.asarray(table.T, dtype=self.dtype)[:, cand.T]  # [S, L, B]
+        return bits.transpose(1, 0, 2), src, new_metrics
+
+    def _bl_decode_node(self, node: CodeNode, llr, metrics):
+        """[L, span, B] LLRs -> (bipolar bits [L, span, B], perm, metrics)."""
+        if node.kind == NodeKind.RATE0:
+            return self._bl_leaf_rate0(llr, metrics)
+        if node.kind == NodeKind.RATE1:
+            return self._bl_leaf_rate1(llr, metrics)
+        if node.kind == NodeKind.ENUM:
+            return self._bl_leaf_enum(node, llr, metrics)
+        if node.kind == NodeKind.REP:
+            return self._bl_leaf_rep(llr, metrics)
+        if node.kind == NodeKind.SPC:
+            return self._bl_leaf_spc(llr, metrics)
+        f_fn, g_fn = self._fg()
+        half = node.length // 2
+        a, b = llr[:, :half], llr[:, half:]
+        left_bits, p_left, metrics = self._bl_decode_node(
+            node.left, f_fn(a, b), metrics
+        )
+        if p_left is not None:
+            llr_g = self._bl_take(llr, p_left)
+            a, b = llr_g[:, :half], llr_g[:, half:]
+        right_bits, p_right, metrics = self._bl_decode_node(
+            node.right, g_fn(a, b, left_bits), metrics
+        )
+        if p_right is not None:
+            left_bits = self._bl_take(left_bits, p_right)
+            perm = (
+                p_right
+                if p_left is None
+                else jnp.take_along_axis(p_left, p_right, axis=-1)
+            )
+        else:
+            perm = p_left
+        bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
+        return bits, perm, metrics
+
+    def _decode_paths_batch_last(self, llr_flat):
+        """[B, N] -> (codewords [B, L, N], metrics [B, L], active)."""
+        n_batch = llr_flat.shape[0]
+        llr_l = jnp.broadcast_to(
+            llr_flat.T[None, :, :],
+            (self.list_size, self.block_length, n_batch),
+        )
+        metrics = jnp.full((n_batch, self.list_size), _NEG, dtype=jnp.float32)
+        metrics = metrics.at[..., 0].set(0.0)
+        bits, _, metrics = self._bl_decode_node(self.tree, llr_l, metrics)
+        if self._int8:
+            codewords = (bits < 0).astype(jnp.uint8)
+        else:
+            codewords = jnp.signbit(bits).astype(jnp.uint8)
+        return codewords.transpose(2, 0, 1), metrics
+
     # ---- public API --------------------------------------------------------
 
     def decode_paths(self, llr):
@@ -341,6 +541,14 @@ class SCLDecoder:
         metrics [..., L], active [..., L])."""
         llr = jnp.asarray(llr, dtype=self.dtype)
         lead = llr.shape[:-1]
+        if self.layout == "batch_last":
+            flat = llr.reshape((-1, self.block_length))
+            codewords, metrics = self._decode_paths_batch_last(flat)
+            codewords = codewords.reshape(
+                lead + (self.list_size, self.block_length)
+            )
+            metrics = metrics.reshape(lead + (self.list_size,))
+            return codewords, metrics, metrics > _ACTIVE_THRESHOLD
         llr_l = jnp.broadcast_to(
             llr[..., None, :], lead + (self.list_size, self.block_length)
         )
