@@ -172,6 +172,23 @@ class SCLDecoder:
             return jnp.where(llr < 0, -1, 1).astype(jnp.int8)
         return _sign(llr)
 
+    def _weakest(self, mag, count):
+        """`count` smallest magnitudes + indices along the last axis.
+
+        Iterative min/argmin extraction — lax.top_k is a full sort plus
+        copies, which profiling showed dominating leaf cost."""
+        cur = mag
+        ms, idxs = [], []
+        big = jnp.asarray(jnp.inf, mag.dtype)
+        iota = jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 1)
+        for j in range(count):
+            ms.append(jnp.min(cur, axis=-1))
+            i = jnp.argmin(cur, axis=-1)
+            idxs.append(i)
+            if j + 1 < count:
+                cur = jnp.where(iota == i[..., None], big, cur)
+        return ms, idxs
+
     def _flip(self, mask):
         """Bipolar flip factors from a boolean mask."""
         one = jnp.asarray(1, self.dtype)
@@ -226,14 +243,13 @@ class SCLDecoder:
             new_metrics, src, cand = self._prune(metrics, deltas)
             bits = _take_paths(hard, src) * self._flip((cand == 1)[..., None])
             return bits, src, new_metrics
-        neg_top, idx = jax.lax.top_k(-mag, 2)  # two weakest |llr| per path
-        m0, m1 = -neg_top[..., 0], -neg_top[..., 1]
+        (m0, m1), (idx0, idx1) = self._weakest(mag, 2)
         zero = jnp.zeros_like(m0)
         deltas = jnp.stack([zero, -m0, -m1, -m0 - m1], axis=-1)
         new_metrics, src, cand = self._prune(metrics, deltas)
         hard_g = _take_paths(hard, src)
-        i0 = jnp.take_along_axis(idx[..., 0], src, axis=-1)
-        i1 = jnp.take_along_axis(idx[..., 1], src, axis=-1)
+        i0 = jnp.take_along_axis(idx0, src, axis=-1)
+        i1 = jnp.take_along_axis(idx1, src, axis=-1)
         pos = jnp.arange(span)
         flip0 = ((cand == 1) | (cand == 3))[..., None] & (pos == i0[..., None])
         flip1 = ((cand == 2) | (cand == 3))[..., None] & (pos == i1[..., None])
@@ -253,8 +269,9 @@ class SCLDecoder:
         span = llr.shape[-1]
         hard = self._hard(llr)
         mag = self._mag(llr)
-        neg_top, idx = jax.lax.top_k(-mag, 4)  # four weakest (span >= 4 by tree)
-        m = -neg_top  # [..., L, 4]
+        ms, idx_list = self._weakest(mag, 4)  # four weakest (span >= 4)
+        m = jnp.stack(ms, axis=-1)  # [..., L, 4]
+        idx = jnp.stack(idx_list, axis=-1)
         parity_odd = jnp.prod(hard.astype(jnp.int32), axis=-1) < 0
         t_cost = m[..., 1:] @ jnp.asarray(_SPC_T.T)  # [..., L, 8]
         m0 = m[..., 0:1]
