@@ -29,3 +29,7 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running configuration test")
