@@ -16,7 +16,7 @@ genie, so the whole analysis is a single fused program over [batch, N].
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp

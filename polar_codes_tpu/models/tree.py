@@ -22,7 +22,7 @@ exposes the structure (child kinds) so decoders can fuse when profitable.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -9,7 +9,7 @@ to this driver layer (SURVEY.md section 5, "distributed communication").
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import numpy as np
 import jax

@@ -13,8 +13,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import asdict
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

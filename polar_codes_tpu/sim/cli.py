@@ -17,7 +17,6 @@ reference's default.
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 from typing import List
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..dsp.modem import Bpsk, Modem
 from ..dsp.channel import add_awgn
-from ..parallel.mesh import default_mesh, sharded_counter_step
+from ..parallel.mesh import sharded_counter_step
 
 
 class Statistics:
