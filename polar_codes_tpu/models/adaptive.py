@@ -43,6 +43,7 @@ class AdaptiveDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         fast_dtype=jnp.float32,
+        list_schedule: Optional[Sequence[int]] = None,
     ):
         # the adaptive scheme is meaningless without an error detector;
         # the reference attaches CRC32 by default (decoder.cpp makeDecoder)
@@ -59,17 +60,29 @@ class AdaptiveDecoder:
             detector=self.detector,
             dtype=fast_dtype,
         )
-        self.list = SCLDecoder(
-            block_length,
-            frozen_bit_positions,
-            list_size=list_size,
-            systematic=systematic,
-            detector=self.detector,
-        )
+        # escalation schedule: CRC failures of stage i re-decode at stage
+        # i+1. The reference's two-stage fast->SCL(L) is the default; a
+        # multi-stage schedule (e.g. (2, 8)) multiplies throughput by
+        # ~1/BLER of each cheaper stage at practical operating points.
+        if list_schedule is None:
+            list_schedule = (list_size,) if list_size > 1 else ()
+        self.list_schedule = tuple(int(l) for l in list_schedule)
+        self.stages = [
+            SCLDecoder(
+                block_length,
+                frozen_bit_positions,
+                list_size=l,
+                systematic=systematic,
+                detector=self.detector,
+            )
+            for l in self.list_schedule
+        ]
+        self.list = self.stages[-1] if self.stages else None
         self.info_length = self.fast.info_length
         self.dtype = jnp.dtype(fast_dtype)
         self._fast_fn = jax.jit(self.fast.decode)
-        self._list_fn = jax.jit(self.list.decode)
+        self._stage_fns = [jax.jit(s.decode) for s in self.stages]
+        self._list_fn = self._stage_fns[-1] if self._stage_fns else None
 
     def decode(self, llr) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """[batch, N] (or [N]) LLRs -> (info [.., K], codeword [.., N], ok).
@@ -86,15 +99,17 @@ class AdaptiveDecoder:
             if self.fast.dtype != jnp.int8
             else flat
         )
-        ok_np = np.asarray(ok)
-        failed = np.nonzero(~ok_np)[0]
-        if failed.size and self.list_size > 1:
+        for stage_fn in self._stage_fns:
+            ok_np = np.asarray(ok)
+            failed = np.nonzero(~ok_np)[0]
+            if not failed.size:
+                break
             bucket = 1 << (int(failed.size - 1)).bit_length()
             bucket = min(bucket, flat.shape[0])
             pad = np.zeros(bucket, dtype=np.int64)
             pad[: failed.size] = failed
             sub = jnp.asarray(flat, jnp.float32)[jnp.asarray(pad)]
-            s_info, s_code, s_ok = self._list_fn(sub)
+            s_info, s_code, s_ok = stage_fn(sub)
             take = jnp.asarray(failed)
             src = jnp.arange(failed.size)
             info = info.at[take].set(s_info[src].astype(info.dtype))
@@ -114,6 +129,8 @@ class AdaptiveDecoder:
         when the fast-pass failure rate is high or host round-trips are
         expensive (e.g. inside the mesh-sharded Monte-Carlo step)."""
         f_info, f_code, f_ok = self.fast.decode(llr)
+        if self.list is None:
+            return f_info, f_code, f_ok
         l_info, l_code, l_ok = self.list.decode(jnp.asarray(llr, jnp.float32))
         use_fast = f_ok
         info = jnp.where(use_fast[..., None], f_info, l_info.astype(f_info.dtype))
