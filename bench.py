@@ -19,6 +19,14 @@ import numpy as np
 
 def main():
     import jax
+
+    try:  # persistent compile cache: repeat bench runs skip recompiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+        )
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from polar_codes_tpu.construction import frozen_bits
