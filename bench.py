@@ -45,7 +45,7 @@ def main():
     )
 
     # realistic noisy input at the 2 dB operating point
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
     rng = np.random.default_rng(0)
     info = rng.integers(0, 2, (batch, k_len)).astype(np.uint8)
     code = enc.encode(jnp.asarray(info))
