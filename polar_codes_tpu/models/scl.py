@@ -217,21 +217,6 @@ class SCLDecoder:
 
     # ---- candidate pruning ------------------------------------------------
 
-    @staticmethod
-    def _topk_iter(x, k):
-        """Top-k (desc) + indices along the last axis without lax.top_k —
-        the sort-based lowering costs more than k max/argmax rounds for
-        small k (profiled on v5e)."""
-        cur = x
-        iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-        vals, idxs = [], []
-        for _ in range(k):
-            vals.append(jnp.max(cur, axis=-1))
-            i = jnp.argmax(cur, axis=-1)
-            idxs.append(i)
-            cur = jnp.where(iota == i[..., None], _NEG, cur)
-        return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
-
     def _prune(self, metrics, deltas):
         """Select the L best of L*C candidates.
 
