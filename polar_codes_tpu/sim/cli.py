@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="codewords per device step")
     p.add_argument("--devices", type=int, default=0,
                    help="mesh size; 0 = single device, no mesh")
+    p.add_argument("--channel", default="awgn", choices=["awgn", "rayleigh"],
+                   help="channel model (the reference's Rayleigh transmitter, "
+                        "rayleigh.cpp, exposed here as a simtype-independent "
+                        "option)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     p.add_argument("--checkpoint", default="",
                    help="npz path for chunk-level checkpoint/resume")
@@ -176,7 +180,8 @@ def run_jobs(args, job_params, write=True):
         )
         mc = MonteCarlo(enc, dec, modem=modem, batch=args.batch,
                         amplification=amplification, mesh=mesh,
-                        design_snr=args.design_snr)
+                        design_snr=args.design_snr,
+                        channel=getattr(args, "channel", "awgn"))
         blocks = max(1, int(args.workload // n_len))
         for i, snr in enumerate(snr_points(args)):
             print(f"[job] N={n_len} K={k_len} L={local.pathlimit} "

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp.modem import Bpsk, Modem
-from ..dsp.channel import add_awgn
+from ..dsp.channel import add_awgn, apply_rayleigh
 from ..parallel.mesh import sharded_counter_step
 
 
@@ -146,6 +146,7 @@ class MonteCarlo:
         amplification: float = 1.0,
         mesh=None,
         design_snr: float = 0.0,
+        channel: str = "awgn",
     ):
         self.encoder = encoder
         self.decoder = decoder
@@ -154,6 +155,9 @@ class MonteCarlo:
         self.amplification = float(amplification)
         self.mesh = mesh
         self.design_snr = float(design_snr)
+        if channel not in ("awgn", "rayleigh"):
+            raise ValueError(f"unknown channel {channel}")
+        self.channel = channel
         self.detector = encoder.detector
         self._build()
 
@@ -169,7 +173,10 @@ class MonteCarlo:
             info = self.detector.generate(info)
         code = self.encoder.encode(info, generate_crc=False)
         tx = self.modem.modulate(code)
-        rx = add_awgn(k_noise, tx, esn0_linear=esn0_linear)
+        if self.channel == "rayleigh":
+            rx = apply_rayleigh(k_noise, tx, esn0_linear=esn0_linear)
+        else:
+            rx = add_awgn(k_noise, tx, esn0_linear=esn0_linear)
         llr = self.modem.demodulate(rx) * self.amplification
         if getattr(self.decoder, "dtype", jnp.float32) == jnp.int8:
             llr = jnp.clip(jnp.round(llr), -127, 127).astype(jnp.int8)

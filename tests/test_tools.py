@@ -177,3 +177,24 @@ class TestCheckpoint:
         again = mc.run_job(1.0, 64 * 4, key=key, warmup=False,
                            checkpoint=cp2, job_id="job")
         assert again.errors == got.errors
+
+
+class TestRayleighChannel:
+    def test_rayleigh_montecarlo_degrades_vs_awgn(self, rng):
+        """Rayleigh fading at the same Es/N0 must cost BLER vs AWGN
+        (reference rayleigh.cpp physics through the MC chain)."""
+        import jax
+        from polar_codes_tpu.models.fastssc import FastSSCDecoder
+        from polar_codes_tpu.sim.montecarlo import MonteCarlo
+
+        n_len, k_len = 128, 64
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        enc = PolarEncoder(n_len, frozen, systematic=True)
+        dec = FastSSCDecoder(n_len, frozen, systematic=True)
+        key = jax.random.PRNGKey(4)
+        awgn = MonteCarlo(enc, dec, batch=512, channel="awgn")
+        ray = MonteCarlo(enc, dec, batch=512, channel="rayleigh")
+        r_a = awgn.run_job(4.0, 1024, key=key, warmup=False)
+        r_r = ray.run_job(4.0, 1024, key=key, warmup=False)
+        assert r_r.BLER > r_a.BLER  # fading hurts at the same SNR
+        assert r_a.BLER < 0.2
