@@ -27,12 +27,17 @@ from polar_codes_tpu.models.adaptive import AdaptiveDecoder
 from polar_codes_tpu.models.scan import ScanDecoder
 from polar_codes_tpu.models.puncturer import Puncturer as _Puncturer
 
+# pure-python re-export, as in the reference package __init__
+# (python/__init__.py: from .frozen_bit_positions import ...)
+from polar_codes_tpu.tools.strategies import get_frozen_bit_generator
+
 __all__ = [
     "PolarEncoder",
     "PolarDecoder",
     "Detector",
     "Puncturer",
     "frozen_bits",
+    "get_frozen_bit_generator",
 ]
 
 
