@@ -45,7 +45,7 @@ def main():
     )
 
     # realistic noisy input at the 2 dB operating point
-    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     rng = np.random.default_rng(0)
     info = rng.integers(0, 2, (batch, k_len)).astype(np.uint8)
     code = enc.encode(jnp.asarray(info))
@@ -86,5 +86,32 @@ def main():
     )
 
 
+def _run_with_retry():
+    """The tunneled TPU worker intermittently crashes under sustained load
+    and needs a couple of minutes to restart; a dead backend cannot be
+    revived in-process, so retry by re-exec'ing a fresh interpreter."""
+    import subprocess
+    import sys
+
+    try:
+        main()
+        return
+    except Exception as exc:  # noqa: BLE001 - retry only on backend loss
+        if "UNAVAILABLE" not in str(exc):
+            raise
+        tries = int(os.environ.get("BENCH_RETRY", "0"))
+        if tries >= 3:
+            raise
+        print(
+            f"# TPU worker unavailable, retry {tries + 1}/3 in 150 s",
+            file=sys.stderr,
+        )
+        time.sleep(150)
+        env = dict(os.environ, BENCH_RETRY=str(tries + 1))
+        raise SystemExit(
+            subprocess.call([sys.executable, __file__], env=env)
+        )
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retry()
