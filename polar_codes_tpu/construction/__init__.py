@@ -20,6 +20,12 @@ from .gaussian import (
     gaussian_approximation_llr_means,
     gaussian_approximation_frozen_bits,
 )
+from .densityevolution import (
+    tal_vardy_error_probabilities,
+    tal_vardy_frozen_bits,
+    aff3ct_frozen_bits,
+    density_evolution_frozen_bits,
+)
 
 __all__ = [
     "Construction",
@@ -35,4 +41,8 @@ __all__ = [
     "nr_reliability_sequence",
     "gaussian_approximation_llr_means",
     "gaussian_approximation_frozen_bits",
+    "tal_vardy_error_probabilities",
+    "tal_vardy_frozen_bits",
+    "aff3ct_frozen_bits",
+    "density_evolution_frozen_bits",
 ]

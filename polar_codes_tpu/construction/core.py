@@ -17,6 +17,7 @@ from .bhattacharyya import bhattacharyya_frozen_bits
 from .betaexpansion import beta_expansion_frozen_bits
 from .fiveg import nr_frozen_bits
 from .gaussian import gaussian_approximation_frozen_bits
+from .densityevolution import density_evolution_frozen_bits
 
 
 class Construction(enum.Enum):
@@ -24,6 +25,7 @@ class Construction(enum.Enum):
     BETA_EXPANSION = "BE"
     FIVE_G = "5G"
     GAUSSIAN_APPROXIMATION = "GA"
+    DENSITY_EVOLUTION = "DE"
 
 
 def frozen_bits(
@@ -45,6 +47,8 @@ def frozen_bits(
         fn = nr_frozen_bits
     elif "ga" in ctype:
         fn = gaussian_approximation_frozen_bits
+    elif "de" in ctype or "tv" in ctype:
+        fn = density_evolution_frozen_bits
     else:
         fn = bhattacharyya_frozen_bits
     return fn(block_length, info_length, design_snr_db)

@@ -56,7 +56,11 @@ class Statistics:
 
     @property
     def dev(self) -> float:
-        return float(np.std(self.values)) if self.values else 0.0
+        # sample deviation sqrt(sum/(size-1)), matching Statistics::evaluate
+        # (reference statistics.cpp:58); 0.0 when undefined (<2 samples)
+        if len(self.values) < 2:
+            return 0.0
+        return float(np.std(self.values, ddof=1))
 
     @property
     def sum(self) -> float:
@@ -361,11 +365,17 @@ class MonteCarlo:
         return jax.random.split(key, self.mesh.devices.size)
 
     def _measure_encoder_rate(self) -> float:
-        """Encoded blocks/s of the jitted encoder (reference ebps)."""
-        info = jnp.zeros((self.batch, self.encoder.info_length), jnp.uint8)
-        fn = jax.jit(lambda x: self.encoder.encode(x, generate_crc=False))
-        jax.block_until_ready(fn(info))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(info))
-        dt = time.perf_counter() - t0
+        """Encoded blocks/s of the jitted encoder (reference ebps).
+
+        Uses the slope-differenced device timer: naive perf_counter around
+        one jitted call misreports by orders of magnitude on the tunneled
+        backend (see utils/timing.py)."""
+        from ..utils.timing import time_device_fn
+
+        info = jnp.zeros((self.batch, self.encoder.info_length), jnp.float32)
+
+        def step(x):
+            return self.encoder.encode(x.astype(jnp.uint8), generate_crc=False)
+
+        dt = time_device_fn(step, info)
         return self.batch / dt if dt > 0 else 0.0

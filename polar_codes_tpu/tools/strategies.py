@@ -15,6 +15,7 @@ from ..construction import (
     gaussian_approximation_frozen_bits,
     nr_frozen_bits,
 )
+from ..construction.densityevolution import density_evolution_frozen_bits
 
 
 class FrozenBitPositions:
@@ -65,7 +66,22 @@ class FrozenBitPositions5G(FrozenBitPositions):
         return nr_frozen_bits(self.block_length, self.info_length)
 
 
+class FrozenBitPositionsDE(FrozenBitPositions):
+    """Tal-Vardy density evolution (frozen_bit_positions.py:107-166).
+
+    The reference only imports aff3ct's precomputed tables; here the
+    aff3ct format is still importable ($AFF3CT_TV_PATH) but the default is
+    a native Tal-Vardy implementation
+    (construction/densityevolution.py)."""
+
+    def _generate(self):
+        return density_evolution_frozen_bits(
+            self.block_length, self.info_length, self.design_snr
+        )
+
+
 _STRATEGIES = {
+    "DE": FrozenBitPositionsDE,
     "BB": FrozenBitPositionsBB,
     "GA": FrozenBitPositionsGA,
     "BE": FrozenBitPositionsBE,

@@ -14,16 +14,19 @@ _COLORS = {
     NodeKind.RATE1: "#2b6cb0",
     NodeKind.REP: "#38a169",
     NodeKind.SPC: "#d69e2e",
+    NodeKind.ENUM: "#805ad5",
     NodeKind.BRANCH: "#e2e8f0",
 }
 
 
 def specialized_tree(
     block_length: int, info_length: int, design_snr: float = 0.0,
-    constructor: str = "BB",
+    constructor: str = "BB", enum_span: int = 0, max_enum_k: int = 0,
 ) -> CodeNode:
     frozen = frozen_bits(block_length, info_length, design_snr, constructor)
-    return build_tree(block_length, frozen)
+    return build_tree(
+        block_length, frozen, enum_span=enum_span, max_enum_k=max_enum_k
+    )
 
 
 def render_tree_text(
@@ -39,6 +42,7 @@ def render_tree_text(
 def render_tree_figure(
     block_length: int, info_length: int, design_snr: float = 0.0,
     constructor: str = "BB", path: str = None,
+    enum_span: int = 0, max_enum_k: int = 0,
 ):
     """Draw the specialized tree; one box per node, colored by kind."""
     import matplotlib
@@ -47,7 +51,10 @@ def render_tree_figure(
     import matplotlib.pyplot as plt
     from matplotlib.patches import Rectangle
 
-    tree = specialized_tree(block_length, info_length, design_snr, constructor)
+    tree = specialized_tree(
+        block_length, info_length, design_snr, constructor,
+        enum_span=enum_span, max_enum_k=max_enum_k,
+    )
     depth_max = (block_length).bit_length()
     fig, ax = plt.subplots(figsize=(12, 1 + depth_max))
 

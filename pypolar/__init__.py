@@ -64,7 +64,15 @@ class Detector:
         return self._d.bits
 
     def getType(self):
-        return self._d.name.upper().replace("NR", "NR")
+        """Family string, matching the reference's per-class getType():
+        crc8/16/32 -> "CRC", all 5G-NR CRCs -> "CRCNR", CMAC -> "CMAC",
+        dummy -> "DUMMY" (crc6nr.h:34, crc32.h:34, cmac.h:44, dummy.cpp:22)."""
+        name = self._d.name
+        if "cmac" in name:
+            return "CMAC"
+        if "dummy" in name:
+            return "DUMMY"
+        return "CRCNR" if "nr" in name else "CRC"
 
     def calculate(self, data, bitsize):
         """Checksum value over the first `bitsize` bits of `data`."""
@@ -114,6 +122,7 @@ class PolarEncoder:
         self._detector = _det.Dummy()
         self._enc = None
         self._fn = None
+        self._duration_ns = 0
 
     # -- config --
 
@@ -155,18 +164,52 @@ class PolarEncoder:
             self._fn = jax.jit(self._enc.encode)
         return self._enc
 
+    def duration_ns(self):
+        """Wall-clock ns of the last encode_vector call
+        (Encoder::duration_ns, encoder.h:59). On the tunneled TPU backend
+        this includes the fixed per-call dispatch overhead; use
+        polar_codes_tpu.utils.timing for device-accurate kernel timing."""
+        return self._duration_ns
+
     def encode_vector(self, info_bytes):
         """uint8[K/8] packed info -> uint8[N/8] packed codeword.
 
-        Also accepts uint8[batch, K/8]."""
+        Also accepts uint8[batch, K/8].
+
+        Reference semantics: with error detection enabled, the generated
+        CRC is written back INTO the caller's info buffer — the C++
+        Detector::generate mutates xmInputData, which pybind11 hands the
+        numpy buffer itself when it is already 1-D uint8 c-contiguous
+        (butterfly_fip_packed.cpp:48, encoder_python.cc:45-61). The
+        reference qa_pypolar_decoder suite depends on that mutation.
+        """
+        import time as _time
+
         enc = self._build()
+        _t0 = _time.perf_counter_ns()
         arr = np.asarray(info_bytes, dtype=np.uint8)
         single = arr.ndim == 1
         if single and arr.size != enc.info_length // 8:
             raise RuntimeError("Input vector size != infoSize // 8!")
         bits = np.unpackbits(arr, axis=-1)[..., : enc.info_length]
+        if self._detector.tail_bits:
+            bits = self._detector.generate_np(bits)
+            # mutate the caller's buffer exactly when pybind11 would have
+            # passed it through without a forcecast copy
+            if (
+                isinstance(info_bytes, np.ndarray)
+                and info_bytes.dtype == np.uint8
+                and info_bytes.flags.c_contiguous
+                and info_bytes.flags.writeable
+                and enc.info_length % 8 == 0
+            ):
+                info_bytes[...] = np.packbits(bits, axis=-1).reshape(
+                    info_bytes.shape
+                )
         code = np.asarray(self._fn(bits))
-        return np.packbits(code, axis=-1)
+        out = np.packbits(code, axis=-1)
+        self._duration_ns = _time.perf_counter_ns() - _t0
+        return out
 
 
 class PolarDecoder:
@@ -194,6 +237,7 @@ class PolarDecoder:
         self._detector = _det.CRC8()  # makeDecoder default (decoder.cpp:86)
         self._dec = None
         self._fn = None
+        self._duration_ns = 0
 
     def blockLength(self):
         return self._n
@@ -237,18 +281,31 @@ class PolarDecoder:
         elif self._flag == 2 and self._detector.tail_bits:
             self._dec = AdaptiveDecoder(n, frozen, list_size=lst, **kw)
         else:
-            self._dec = SCLDecoder(n, frozen, list_size=lst, **kw)
+            # flag 0 = SclFipChar (int8), flag 1 = SclAvxFloat
+            # (Decoding::makeDecoder, decoder.cpp:54-87)
+            dtype = jnp.int8 if self._flag == 0 else jnp.float32
+            self._dec = SCLDecoder(n, frozen, list_size=lst, dtype=dtype, **kw)
         if getattr(self._dec, "decode_is_host_orchestrated", False):
             self._fn = self._dec.decode
         else:
             self._fn = jax.jit(self._dec.decode)
         return self._dec
 
+    def duration_ns(self):
+        """Wall-clock ns of the last decode_vector call
+        (Decoder::duration_ns, decoder.h:82). On the tunneled TPU backend
+        this includes the fixed per-call dispatch overhead; use
+        polar_codes_tpu.utils.timing for device-accurate kernel timing."""
+        return self._duration_ns
+
     def decode_vector(self, llrs):
         """float32/int8 [N] channel LLRs -> uint8[K/8] packed info bits.
 
         Also accepts [batch, N]. Sign convention: positive LLR = bit 0."""
+        import time as _time
+
         dec = self._build()
+        _t0 = _time.perf_counter_ns()
         arr = np.asarray(llrs)
         if arr.shape[-1] != self._n:
             raise RuntimeError("Input vector size != blockSize!")
@@ -257,7 +314,9 @@ class PolarDecoder:
         else:
             arr = arr.astype(np.float32)
         info, _, _ = self._fn(arr)
-        return np.packbits(np.asarray(info), axis=-1)
+        out = np.packbits(np.asarray(info), axis=-1)
+        self._duration_ns = _time.perf_counter_ns() - _t0
+        return out
 
 
 class Puncturer:
