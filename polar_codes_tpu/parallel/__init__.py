@@ -9,6 +9,18 @@ and error counters are reduced with psum over ICI (replacing per-job field
 accumulation).
 """
 
-from .mesh import default_mesh, sharded_counter_step
+from .mesh import (
+    default_mesh,
+    distribute_keys,
+    host_aggregate,
+    init_distributed,
+    sharded_counter_step,
+)
 
-__all__ = ["default_mesh", "sharded_counter_step"]
+__all__ = [
+    "default_mesh",
+    "distribute_keys",
+    "host_aggregate",
+    "init_distributed",
+    "sharded_counter_step",
+]

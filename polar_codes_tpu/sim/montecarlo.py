@@ -362,7 +362,9 @@ class MonteCarlo:
         return self.batch * self.mesh.devices.size
 
     def _mesh_keys(self, key):
-        return jax.random.split(key, self.mesh.devices.size)
+        from ..parallel.mesh import distribute_keys
+
+        return distribute_keys(key, self.mesh)
 
     def _measure_encoder_rate(self) -> float:
         """Encoded blocks/s of the jitted encoder (reference ebps).
