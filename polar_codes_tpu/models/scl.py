@@ -37,7 +37,14 @@ import jax.numpy as jnp
 
 from ..construction import info_indices
 from ..ops.butterfly import butterfly_transform
-from ..ops.fg import f_minsum, g_update, f_minsum_i8, g_update_i8
+from ..ops.fg import (
+    f_minsum,
+    g_update,
+    f_minsum_i8,
+    g_update_i8,
+    f_minsum_sat,
+    g_update_sat,
+)
 from .tree import CodeNode, NodeKind, build_tree
 from .detectors import Detector, Dummy
 
@@ -73,12 +80,29 @@ _SPC_T = np.array(
 )
 
 
+import os as _os
+
+_GATHER_MODE = _os.environ.get("SCL_GATHER", "select")
+
+
 def _take_paths(x, perm):
     """Gather [..., L, S] state along the list axis by perm [..., L].
 
-    One-hot matmul instead of take_along_axis: XLA lowers gathers on TPU
-    through 1-D s32 index vectors that execute ~5-100x slower than a small
-    batched MXU contraction (profiled on v5e)."""
+    Never take_along_axis: XLA lowers gathers on TPU through 1-D s32 index
+    vectors that execute ~5-100x slower than either alternative (profiled
+    on v5e). Default is a chain of L lane-wide selects — pure VPU work that
+    fuses into the surrounding elementwise ops with no dot_general operand
+    relayouts (measured ~15% whole-decoder win over the one-hot einsum at
+    N=1024 L=8). SCL_GATHER=einsum switches back to the one-hot MXU
+    contraction for A/B tests."""
+    if _GATHER_MODE == "select":
+        n_list = x.shape[-2]
+        out = x[..., 0:1, :]
+        for k in range(1, n_list):
+            out = jnp.where(
+                (perm == k)[..., None], x[..., k : k + 1, :], out
+            )
+        return out
     onehot = jax.nn.one_hot(perm, x.shape[-2], dtype=jnp.float32)
     out = jnp.einsum(
         "...lk,...ks->...ls", onehot, x.astype(jnp.float32),
@@ -90,8 +114,15 @@ def _take_paths(x, perm):
 def _take_last(x, idx):
     """Gather along the LAST axis: x [..., C], idx [..., L] -> [..., L].
 
-    Same one-hot-matmul rationale as _take_paths; exact for ints < 2^24."""
-    onehot = jax.nn.one_hot(idx, x.shape[-1], dtype=jnp.float32)
+    Same rationale as _take_paths: a select chain for narrow C (fuses on
+    the VPU), one-hot contraction when C is wide (ENUM candidate lists)."""
+    n_c = x.shape[-1]
+    if _GATHER_MODE == "select" and n_c <= 16:
+        out = jnp.broadcast_to(x[..., 0:1], idx.shape).astype(x.dtype)
+        for c in range(1, n_c):
+            out = jnp.where(idx == c, x[..., c : c + 1], out)
+        return out
+    onehot = jax.nn.one_hot(idx, n_c, dtype=jnp.float32)
     out = jnp.einsum(
         "...lc,...c->...l", onehot, x.astype(jnp.float32),
         preferred_element_type=jnp.float32,
@@ -140,6 +171,12 @@ class SCLDecoder:
         if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
             raise ValueError("SCLDecoder supports float32 or int8 LLRs")
         self._int8 = self.dtype == jnp.int8
+        # int8 (SclFipChar) mode stores integer-valued LLRs in float32 with
+        # saturating [-127,127] arithmetic (fi_adds_epi8 value parity). On
+        # TPU the VPU is f32-native: emulated int8/int16 vector ops measured
+        # 1.75x slower and bf16 storage 1.5x slower (extra cast passes),
+        # so value-parity-in-f32 is the fast layout for the "char" path.
+        self._sdtype = jnp.float32 if self._int8 else self.dtype
         # ENUM leaves flatten small mixed-rate subtrees into one exhaustive
         # ML-enumeration node (one batched matmul; see _leaf_enum). With
         # L=1 they would be *less* greedy than SC (pruning after the leaf
@@ -166,31 +203,33 @@ class SCLDecoder:
 
     def _fg(self):
         if self._int8:
-            return f_minsum_i8, g_update_i8
+            return f_minsum_sat, g_update_sat
         return f_minsum, g_update
 
     def _mag(self, llr):
         """|llr| as float32 (metric domain)."""
         if self._int8:
-            return jnp.abs(llr.astype(jnp.int16)).astype(jnp.float32)
+            return jnp.abs(llr.astype(jnp.float32))
         return jnp.abs(llr)
 
     def _min0sum(self, llr):
         """sum(min(llr, 0)) as float32 over the last axis."""
         if self._int8:
-            work = llr.astype(jnp.int32)
-            return jnp.sum(jnp.minimum(work, 0), axis=-1).astype(jnp.float32)
+            work = llr.astype(jnp.float32)
+            return jnp.sum(jnp.minimum(work, 0.0), axis=-1)
         return jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
 
     def _max0sum(self, llr):
         if self._int8:
-            work = llr.astype(jnp.int32)
-            return jnp.sum(jnp.maximum(work, 0), axis=-1).astype(jnp.float32)
+            work = llr.astype(jnp.float32)
+            return jnp.sum(jnp.maximum(work, 0.0), axis=-1)
         return jnp.sum(jnp.maximum(llr, 0.0), axis=-1)
 
     def _hard(self, llr):
         if self._int8:
-            return jnp.where(llr < 0, -1, 1).astype(jnp.int8)
+            # int-valued storage: 0 decides bit 0, as in fip_char (no -0.0
+            # can survive the saturating integer arithmetic)
+            return jnp.where(llr < 0, -1.0, 1.0).astype(self._sdtype)
         return _sign(llr)
 
     def _weakest(self, mag, count):
@@ -212,7 +251,7 @@ class SCLDecoder:
 
     def _flip(self, mask):
         """Bipolar flip factors from a boolean mask."""
-        one = jnp.asarray(1, self.dtype)
+        one = jnp.asarray(1, self._sdtype)
         return jnp.where(mask, -one, one)
 
     # ---- candidate pruning ------------------------------------------------
@@ -356,7 +395,7 @@ class SCLDecoder:
         sum_abs = jnp.sum(jnp.abs(work), axis=-1, keepdims=True)
         deltas = 0.5 * (scores - sum_abs)
         new_metrics, src, cand = self._prune(metrics, deltas)
-        bits = jnp.asarray(table, dtype=self.dtype)[cand]  # [..., L, span]
+        bits = jnp.asarray(table, dtype=self._sdtype)[cand]  # [..., L, span]
         return bits, src, new_metrics
 
     # ---- tree recursion (trace-time) --------------------------------------
@@ -406,11 +445,11 @@ class SCLDecoder:
 
     def _bl_min0sum(self, llr):
         """sum(min(llr,0)) over the span -> [B, L] float32."""
-        work = llr.astype(jnp.int32) if self._int8 else llr
+        work = llr.astype(jnp.float32) if self._int8 else llr
         return jnp.sum(jnp.minimum(work, 0), axis=1).T.astype(jnp.float32)
 
     def _bl_max0sum(self, llr):
-        work = llr.astype(jnp.int32) if self._int8 else llr
+        work = llr.astype(jnp.float32) if self._int8 else llr
         return jnp.sum(jnp.maximum(work, 0), axis=1).T.astype(jnp.float32)
 
     def _bl_weakest(self, mag, count: int):
@@ -516,7 +555,7 @@ class SCLDecoder:
         deltas = 0.5 * (scores - sum_abs)
         new_metrics, src, cand = self._prune(metrics, deltas)
         # bits[l, s, b] = table[cand[b, l], s]
-        bits = jnp.asarray(table.T, dtype=self.dtype)[:, cand.T]  # [S, L, B]
+        bits = jnp.asarray(table.T, dtype=self._sdtype)[:, cand.T]  # [S, L, B]
         return bits.transpose(1, 0, 2), src, new_metrics
 
     def _bl_decode_node(self, node: CodeNode, llr, metrics):
@@ -577,6 +616,8 @@ class SCLDecoder:
         """[..., N] channel LLRs -> (codewords [..., L, N] {0,1},
         metrics [..., L], active [..., L])."""
         llr = jnp.asarray(llr, dtype=self.dtype)
+        if self._int8:
+            llr = llr.astype(self._sdtype)
         lead = llr.shape[:-1]
         if self.layout == "batch_last":
             flat = llr.reshape((-1, self.block_length))

@@ -47,6 +47,29 @@ def g_update_i8(a, b, left_bipolar):
     return jnp.clip(s, -127, 127).astype(jnp.int8)
 
 
+def f_minsum_sat(a, b):
+    """Saturating-integer min-sum f on bfloat16-stored integer LLRs.
+
+    Bit-identical values to f_minsum_i8 (fip_char.h F semantics): every LLR
+    is an integer in [-127, 127], which bfloat16 represents exactly; the
+    arithmetic runs in float32 (TPU VPU native width) instead of emulated
+    int8/int16 vector ops — that makes the SclFipChar-parity path *faster*
+    than f32 (half the HBM traffic at fusion boundaries) instead of 1.75x
+    slower (measured: int8/int16 elementwise on v5e)."""
+    a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+    sign = jnp.sign(a32) * jnp.sign(b32)
+    return (sign * jnp.minimum(jnp.abs(a32), jnp.abs(b32))).astype(a.dtype)
+
+
+def g_update_sat(a, b, left_bipolar):
+    """Saturating g on bfloat16-stored integer LLRs: clip to [-127, 127]
+    (fi_adds_epi8 semantics, value-identical to g_update_i8)."""
+    s = b.astype(jnp.float32) + left_bipolar.astype(jnp.float32) * a.astype(
+        jnp.float32
+    )
+    return jnp.clip(s, -127.0, 127.0).astype(a.dtype)
+
+
 def split_llr(llr):
     """Split [..., 2m] node LLRs into (upper a, lower b) halves [..., m]."""
     m = llr.shape[-1] // 2

@@ -1,4 +1,4 @@
-"""Microbenchmark suite.
+"""Microbenchmark suite with per-row checkpoint/resume.
 
 Capability parity with /root/reference/benchmark/main_benchmark.cpp:
 encoder grids over N x CRC x systematic (:273-369) and decoder grids over
@@ -8,6 +8,13 @@ blocks-per-second. Results go to stdout and a JSON-lines file.
 
     python -m polar_codes_tpu.sim.benchmark --quick -o benchmarks.jsonl
 
+Rows are enumerated declaratively up front and the output file doubles as
+the checkpoint: on restart, rows whose `bench` name already appears in the
+output are skipped, and new rows are appended.  The tunneled TPU worker
+can crash mid-grid (CLAUDE.md); rerunning the same command resumes at the
+first missing row instead of truncating the artifact, and `--loop` keeps
+re-spawning the grid in a child process until every row is done.
+
 Timing uses the chained-fori_loop device timer (utils/timing.py), so the
 numbers are decode/encode wall time on the device, batch included.
 """
@@ -16,39 +23,87 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import time
 
 import numpy as np
 
 
-def record(out, **kw):
-    line = json.dumps(kw)
-    print(line, flush=True)
-    if out:
-        out.write(line + "\n")
-        out.flush()
+def bits_budget_batch(n_len: int, budget_bits: int = 1 << 21) -> int:
+    """One consistent batch policy for every row: ~budget_bits coded bits
+    per timed step, clamped to [64, 2048] (large batches destabilize the
+    tunneled dev worker; see CLAUDE.md)."""
+    return int(np.clip(budget_bits // n_len, 64, 2048))
 
 
-def bits_budget_batch(n_len: int, budget_bits: int = 1 << 22) -> int:
-    return max(64, budget_bits // n_len)
+def enumerate_rows(quick: bool):
+    """Declarative grid: list of dicts describing every benchmark row.
+
+    Mirrors main_benchmark.cpp: encode N in {64..131072} x CRC
+    (:273-369), Fast-SSC N in {64..8192} x {float,char}, CA-SCL
+    N x L in {1024,4096} x {2..32} x {float,char}, SCAN (:371-503).
+    """
+    rows = []
+    enc_ns = [256, 1024, 4096] if quick else [64, 256, 1024, 4096, 16384,
+                                              32768, 131072]
+    for n_len in enc_ns:
+        for c_bits in ([0, 32] if quick else [0, 8, 16, 32]):
+            if c_bits >= n_len // 2:
+                continue
+            rows.append(dict(kind="encode", N=n_len, K=n_len // 2,
+                             C=c_bits, L=0, dtype="float"))
+
+    dec_ns = [256, 1024] if quick else [64, 256, 1024, 4096, 8192]
+    for n_len in dec_ns:
+        for tag in ("float", "char"):
+            rows.append(dict(kind="fastssc", N=n_len, K=n_len // 2,
+                             C=0, L=1, dtype=tag))
+
+    scl_ls = [2, 8] if quick else [1, 2, 4, 8, 16, 32]
+    for n_len in ([1024] if quick else [256, 1024, 4096]):
+        for list_size in scl_ls:
+            for tag in ("float", "char"):
+                if n_len == 4096 and list_size > 8:
+                    continue  # compile-time guard; covered at 1024
+                rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
+                                 C=16, L=list_size, dtype=tag))
+
+    for n_len in ([1024] if quick else [256, 1024]):
+        rows.append(dict(kind="scan", N=n_len, K=n_len // 2, C=0, L=4,
+                         dtype="float"))
+    for row in rows:
+        row["bench"] = row_name(row)
+    return rows
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(prog="polar-bench", description=__doc__)
-    p.add_argument("--quick", action="store_true",
-                   help="smaller grids (a few minutes)")
-    p.add_argument("--filter", default="",
-                   help="only run benchmarks whose name contains this")
-    p.add_argument("-o", "--output", default="benchmarks.jsonl")
-    p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
-    p.add_argument("--batch-bits", type=int, default=1 << 22,
-                   help="approximate coded bits per timed step")
-    args = p.parse_args(argv)
+def row_name(row):
+    kind, n_len = row["kind"], row["N"]
+    if kind == "encode":
+        return f"encode_n{n_len}_crc{row['C']}"
+    if kind == "fastssc":
+        return f"fastssc_{row['dtype']}_n{n_len}"
+    if kind == "cascl":
+        return f"cascl_{row['dtype']}_n{n_len}_l{row['L']}"
+    return f"scan{row['L']}_n{n_len}"
 
-    if args.platform == "cpu":
-        import jax
 
-        jax.config.update("jax_platforms", "cpu")
+def load_done(path):
+    done = set()
+    if path and os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "bench" in rec and "error" not in rec:
+                    done.add(rec["bench"])
+    return done
+
+
+def run_row(row, batch_bits, out):
     import jax
     import jax.numpy as jnp
 
@@ -59,92 +114,130 @@ def main(argv=None):
     from ..models.scan import ScanDecoder
     from ..models.detectors import make_detector
     from ..utils.timing import time_device_fn
+    from ..utils.profiling import roofline
 
     rng = np.random.default_rng(0)
-    out = open(args.output, "w") if args.output else None
     platform = jax.devices()[0].platform
+    n_len, k_len = row["N"], row["K"]
+    batch = bits_budget_batch(n_len, batch_bits)
+    kind = row["kind"]
 
-    def llr_input(n_len, batch):
-        return jax.device_put(
-            jnp.asarray(rng.normal(0, 2, (batch, n_len)), jnp.float32)
-        )
-
-    def run_decoder(name, dec, n_len, k_len, c_bits, list_size):
-        if args.filter and args.filter not in name:
-            return
-        batch = bits_budget_batch(n_len, args.batch_bits)
-        llr = llr_input(n_len, batch)
-        if getattr(dec, "dtype", jnp.float32) == jnp.int8:
-            llr = jnp.clip(jnp.round(llr * 8), -127, 127).astype(jnp.int8)
-        secs = time_device_fn(lambda x: dec.decode(x), llr, reps=8)
-        record(
-            out, bench=name, N=n_len, K=k_len, C=c_bits, L=list_size,
-            batch=batch, platform=platform, seconds_per_batch=secs,
-            code_thr_mbps=batch * n_len / secs / 1e6,
-            info_thr_mbps=batch * k_len / secs / 1e6,
-            blocks_per_s=batch / secs,
-        )
-
-    # ---- encoder grid (BM_polar_encode) -----------------------------------
-    enc_ns = [256, 1024, 4096] if args.quick else [64, 256, 1024, 4096,
-                                                   32768, 131072]
-    for n_len in enc_ns:
-        for c_bits in ([0, 32] if args.quick else [0, 8, 16, 32]):
-            k_len = n_len // 2
-            if c_bits >= k_len:
-                continue
-            name = f"encode_n{n_len}_crc{c_bits}"
-            if args.filter and args.filter not in name:
-                continue
-            det = make_detector(c_bits, "crc")
-            frozen = frozen_bits(n_len, k_len, 0.0)
-            enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
-            batch = bits_budget_batch(n_len, args.batch_bits)
-            bits = jnp.asarray(
-                rng.integers(0, 2, (batch, k_len)), jnp.uint8
-            )
-            secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
-            record(
-                out, bench=name, N=n_len, K=k_len, C=c_bits, L=0,
-                batch=batch, platform=platform, seconds_per_batch=secs,
-                code_thr_mbps=batch * n_len / secs / 1e6,
-                info_thr_mbps=batch * k_len / secs / 1e6,
-                blocks_per_s=batch / secs,
-            )
-
-    # ---- Fast-SSC grid (BM_polar_decode L=1) ------------------------------
-    dec_ns = [256, 1024] if args.quick else [64, 256, 1024, 4096, 8192]
-    for n_len in dec_ns:
-        k_len = n_len // 2
+    if kind == "encode":
+        det = make_detector(row["C"], "crc") if row["C"] else None
         frozen = frozen_bits(n_len, k_len, 0.0)
-        for dtype, tag in ((jnp.float32, "float"), (jnp.int8, "char")):
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        bits = jnp.asarray(rng.integers(0, 2, (batch, k_len)), jnp.uint8)
+        secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
+        roof = roofline(lambda x: enc.encode(x), bits, seconds=secs)
+    else:
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        dtype = jnp.int8 if row["dtype"] == "char" else jnp.float32
+        if kind == "fastssc":
             dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=dtype)
-            run_decoder(f"fastssc_{tag}_n{n_len}", dec, n_len, k_len, 0, 1)
+        elif kind == "cascl":
+            det = make_detector(row["C"], "crc")
+            dec = SCLDecoder(n_len, frozen, list_size=row["L"],
+                             systematic=True, detector=det, dtype=dtype)
+        else:
+            dec = ScanDecoder(n_len, frozen, systematic=True,
+                              iterations=row["L"])
+        llr = jnp.asarray(rng.normal(0, 2, (batch, n_len)), jnp.float32)
+        if dtype == jnp.int8:
+            llr = jnp.clip(jnp.round(llr * 8), -127, 127).astype(jnp.int8)
+        llr = jax.device_put(llr)
+        secs = time_device_fn(lambda x: dec.decode(x), llr, reps=8)
+        roof = roofline(lambda x: dec.decode(x), llr, seconds=secs)
 
-    # ---- SCL grid (BM_polar_decode L>1) -----------------------------------
-    scl_ls = [2, 8] if args.quick else [2, 4, 8, 16, 32]
-    for n_len in ([1024] if args.quick else [256, 1024, 4096]):
-        k_len = n_len // 2
-        det = make_detector(16, "crc")
-        frozen = frozen_bits(n_len, k_len, 0.0)
-        for list_size in scl_ls:
-            for dtype, tag in ((jnp.float32, "float"), (jnp.int8, "char")):
-                dec = SCLDecoder(n_len, frozen, list_size=list_size,
-                                 systematic=True, detector=det, dtype=dtype)
-                run_decoder(
-                    f"cascl_{tag}_n{n_len}_l{list_size}", dec, n_len, k_len,
-                    16, list_size,
-                )
-
-    # ---- SCAN -------------------------------------------------------------
-    for n_len in ([1024] if args.quick else [256, 1024]):
-        k_len = n_len // 2
-        frozen = frozen_bits(n_len, k_len, 0.0)
-        dec = ScanDecoder(n_len, frozen, systematic=True, iterations=4)
-        run_decoder(f"scan4_n{n_len}", dec, n_len, k_len, 0, 4)
-
+    rec = dict(bench=row["bench"], N=n_len, K=k_len, C=row["C"], L=row["L"],
+               dtype=row["dtype"], batch=batch, platform=platform,
+               seconds_per_batch=secs,
+               code_thr_mbps=batch * n_len / secs / 1e6,
+               info_thr_mbps=batch * k_len / secs / 1e6,
+               blocks_per_s=batch / secs)
+    for key in ("flops", "bytes_accessed", "mfu", "hbm_util", "bound"):
+        if key in roof:
+            rec[key] = roof[key]
+    line = json.dumps(rec)
+    print(line, flush=True)
     if out:
-        out.close()
+        out.write(line + "\n")
+        out.flush()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="polar-bench", description=__doc__)
+    p.add_argument("--quick", action="store_true",
+                   help="smaller grids (a few minutes)")
+    p.add_argument("--filter", default="",
+                   help="only run benchmarks whose name contains this")
+    p.add_argument("-o", "--output", default="benchmarks.jsonl")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    p.add_argument("--batch-bits", type=int, default=1 << 21,
+                   help="approximate coded bits per timed step")
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore existing output rows (no resume)")
+    p.add_argument("--loop", action="store_true",
+                   help="re-spawn the grid in child processes until every "
+                        "row is present (survives TPU worker crashes)")
+    p.add_argument("--list", action="store_true", dest="list_rows",
+                   help="print the row names and exit")
+    args = p.parse_args(argv)
+
+    rows = enumerate_rows(args.quick)
+    if args.filter:
+        rows = [r for r in rows if args.filter in r["bench"]]
+    if args.list_rows:
+        for row in rows:
+            print(row["bench"])
+        return 0
+
+    if args.loop:
+        # Parent loop: child runs resume from the output file, so a worker
+        # crash costs only the in-flight row.
+        child_args = [sys.argv[0] if argv is None else "-m"]
+        cmd = [sys.executable, "-m", "polar_codes_tpu.sim.benchmark",
+               "-o", args.output, "--batch-bits", str(args.batch_bits)]
+        if args.quick:
+            cmd.append("--quick")
+        if args.filter:
+            cmd += ["--filter", args.filter]
+        if args.platform == "cpu":
+            cmd += ["--platform", "cpu"]
+        for attempt in range(len(rows) + 4):
+            missing = [r for r in rows
+                       if r["bench"] not in load_done(args.output)]
+            if not missing:
+                print(f"all {len(rows)} rows complete", flush=True)
+                return 0
+            print(f"[loop {attempt}] {len(missing)} rows missing; "
+                  f"next: {missing[0]['bench']}", flush=True)
+            ret = subprocess.run(cmd).returncode
+            if ret != 0:
+                time.sleep(150)  # TPU worker recovery window (CLAUDE.md)
+        print("loop budget exhausted", file=sys.stderr)
+        return 1
+
+    if args.fresh and args.output and os.path.exists(args.output):
+        os.unlink(args.output)
+    done = load_done(args.output)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    out = open(args.output, "a") if args.output else None
+    try:
+        for row in rows:
+            if row["bench"] in done:
+                continue
+            run_row(row, args.batch_bits, out)
+    finally:
+        if out:
+            out.close()
     return 0
 
 

@@ -1,0 +1,90 @@
+"""Profiling helpers: device traces, op annotations, and XLA cost analysis.
+
+Parity with the reference's per-codec duration_ns counters
+(/root/reference/include/polarcode/decoding/decoder.h:82 and the
+Google-Benchmark counters in benchmark/main_benchmark.cpp:233-239), done
+the TPU way: `jax.profiler` traces for timeline inspection and the
+compiled executable's own cost analysis for FLOP/byte/roofline numbers
+(the reference has no analogue of the latter — on TPU the compiler knows).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str = "/tmp/polar_trace"):
+    """Capture a jax.profiler trace (view with TensorBoard/Perfetto).
+
+        with device_trace("/tmp/tr"):
+            dec.decode(llr)[0].block_until_ready()
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region that shows up inside profiler traces."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def cost_analysis(fn: Callable, *args) -> dict:
+    """Compile fn(*args) and return XLA's own cost model numbers.
+
+    Returns {"flops", "bytes_accessed", "transcendentals", ...} (keys as
+    reported by the backend; empty dict if the backend reports none)."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+        costs = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if costs is None:
+        return {}
+    if isinstance(costs, (list, tuple)):
+        costs = costs[0] if costs else {}
+    return dict(costs)
+
+
+# Peak numbers for roofline/MFU context, per device platform. The axon
+# tunnel exposes a single v5e-class chip; CPU rows get no peak (MFU=None).
+_PEAKS = {
+    # platform: (peak_f32_flops_per_s, hbm_bytes_per_s)
+    "tpu": (4.9e13, 8.1e11),
+    "axon": (4.9e13, 8.1e11),
+}
+
+
+def roofline(fn: Callable, *args, seconds: Optional[float] = None) -> dict:
+    """Cost analysis + achieved/peak ratios for one call of fn(*args).
+
+    With `seconds` (a measured per-call time, e.g. from
+    utils.timing.time_device_fn) adds achieved FLOP/s, bytes/s, MFU and
+    HBM utilization plus the roofline verdict ("compute"/"memory" bound).
+    """
+    costs = cost_analysis(fn, *args)
+    flops = float(costs.get("flops", 0.0) or 0.0)
+    nbytes = float(costs.get("bytes accessed", 0.0) or 0.0)
+    out = {"flops": flops, "bytes_accessed": nbytes}
+    if nbytes > 0:
+        out["arithmetic_intensity"] = flops / nbytes
+    platform = jax.devices()[0].platform
+    peak = _PEAKS.get(platform)
+    if peak and nbytes > 0:
+        ridge = peak[0] / peak[1]
+        out["bound"] = (
+            "compute" if out["arithmetic_intensity"] >= ridge else "memory"
+        )
+    if seconds and seconds > 0:
+        out["achieved_flops_per_s"] = flops / seconds
+        out["achieved_bytes_per_s"] = nbytes / seconds
+        if peak:
+            out["mfu"] = flops / seconds / peak[0]
+            out["hbm_util"] = nbytes / seconds / peak[1]
+    return out
