@@ -130,6 +130,41 @@ def _take_last(x, idx):
     return out.astype(x.dtype)
 
 
+# ---- progressive list widening ---------------------------------------------
+# Until the tree has produced >= L candidate paths, every fork keeps ALL
+# candidates: the permutation is the STATIC pattern i -> i // c (each of the
+# w live paths forks into c children). Representing it symbolically as
+# ("rep", c) lets forks on the frozen-heavy left edge of the tree compile to
+# jnp.repeat (one tiled copy, no selects, no sort) and lets the whole prefix
+# of the decode run at list width w < L — the root-level [.., L, N] state
+# broadcast disappears and the biggest per-level buffers shrink by L/w.
+
+
+def _apply_perm(x, perm):
+    """Gather [..., w_in, S] along the list axis; perm is None (identity),
+    ("rep", c) (static all-candidate fork), or a [..., w_out] index array."""
+    if perm is None:
+        return x
+    if isinstance(perm, tuple):
+        return jnp.repeat(x, perm[1], axis=-2)
+    return _take_paths(x, perm)
+
+
+def _compose_perms(p_early, p_late):
+    """Composition mapping final slots to the slots before p_early."""
+    if p_early is None:
+        return p_late
+    if p_late is None:
+        return p_early
+    if isinstance(p_early, tuple):
+        if isinstance(p_late, tuple):
+            return ("rep", p_early[1] * p_late[1])
+        return p_late // p_early[1]
+    if isinstance(p_late, tuple):
+        return jnp.repeat(p_early, p_late[1], axis=-1)
+    return _take_last(p_early, p_late)
+
+
 def _sign(x):
     """Bipolar hard decision; -0.0 -> -1 (sign-bit convention, avx_float.h)."""
     return jnp.where(jnp.signbit(x), -1.0, 1.0).astype(x.dtype)
@@ -257,35 +292,54 @@ class SCLDecoder:
     # ---- candidate pruning ------------------------------------------------
 
     def _prune(self, metrics, deltas):
-        """Select the L best of L*C candidates.
+        """Select the best min(L, w*C) of w*C candidates.
 
-        metrics [..., L], deltas [..., L, C] -> (new metrics [..., L] sorted
-        descending, source path [..., L], candidate id [..., L]).
+        metrics [..., w], deltas [..., w, C] -> (new metrics [..., w'],
+        source perm, candidate id [..., w']).
+
+        Progressive widening: while w*C <= L NOTHING is pruned — every
+        candidate survives, the perm is the static ("rep", C) pattern and
+        the candidate ids are a host-side constant, so no sort and no
+        dynamic gather is emitted at all. Past L, one lax.top_k over the
+        w*C (or per-path-prepruned w*L) candidate metrics replaces the
+        reference's simplePartialSortDescending.
 
         For wide candidate lists (ENUM leaves, C up to 2^max_enum_k) a
-        per-path top-L pre-prune shrinks the global top_k input from L*C to
-        L*L — no survivor can rank better than L-th within its own path."""
+        per-path top-L pre-prune shrinks the global top_k input from w*C to
+        w*L — no survivor can rank better than L-th within its own path."""
         n_cand = deltas.shape[-1]
+        width = metrics.shape[-1]
         n_list = self.list_size
         cand = metrics[..., None] + deltas
+        if width * n_cand <= n_list:
+            new_metrics = cand.reshape(cand.shape[:-2] + (width * n_cand,))
+            cand_id = np.tile(np.arange(n_cand), width)
+            return new_metrics, ("rep", n_cand), cand_id
         if n_cand > n_list:
             # lax.top_k (sort-based) measured faster here than k rounds of
-            # max/argmax extraction — the sort amortizes across L*C
+            # max/argmax extraction — the sort amortizes across w*C
             local_vals, local_idx = jax.lax.top_k(cand, n_list)
             flat = local_vals.reshape(
-                local_vals.shape[:-2] + (n_list * n_list,)
+                local_vals.shape[:-2] + (width * n_list,)
             )
             new_metrics, idx = jax.lax.top_k(flat, n_list)
             src = idx // n_list
             local_pos = idx % n_list
             cand_id = _take_last(
-                local_idx.reshape(local_idx.shape[:-2] + (n_list * n_list,)),
+                local_idx.reshape(local_idx.shape[:-2] + (width * n_list,)),
                 src * n_list + local_pos,
             )
             return new_metrics, src, cand_id
-        flat = cand.reshape(cand.shape[:-2] + (n_list * n_cand,))
+        flat = cand.reshape(cand.shape[:-2] + (width * n_cand,))
         new_metrics, idx = jax.lax.top_k(flat, n_list)
         return new_metrics, idx // n_cand, idx % n_cand
+
+    @staticmethod
+    def _perm_vec(v, perm):
+        """Gather [..., w] per-path values by a _prune perm -> [..., w']."""
+        if isinstance(perm, tuple):
+            return jnp.repeat(v, perm[1], axis=-1)
+        return _take_last(v, perm)
 
     # ---- leaves -----------------------------------------------------------
 
@@ -302,15 +356,15 @@ class SCLDecoder:
             m0 = mag[..., 0]
             deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=-1)
             new_metrics, src, cand = self._prune(metrics, deltas)
-            bits = _take_paths(hard, src) * self._flip((cand == 1)[..., None])
+            bits = _apply_perm(hard, src) * self._flip((cand == 1)[..., None])
             return bits, src, new_metrics
         (m0, m1), (idx0, idx1) = self._weakest(mag, 2)
         zero = jnp.zeros_like(m0)
         deltas = jnp.stack([zero, -m0, -m1, -m0 - m1], axis=-1)
         new_metrics, src, cand = self._prune(metrics, deltas)
-        hard_g = _take_paths(hard, src)
-        i0 = _take_last(idx0, src)
-        i1 = _take_last(idx1, src)
+        hard_g = _apply_perm(hard, src)
+        i0 = self._perm_vec(idx0, src)
+        i1 = self._perm_vec(idx1, src)
         pos = jnp.arange(span)
         flip0 = ((cand == 1) | (cand == 3))[..., None] & (pos == i0[..., None])
         flip1 = ((cand == 2) | (cand == 3))[..., None] & (pos == i1[..., None])
@@ -340,13 +394,24 @@ class SCLDecoder:
         delta_odd = -m0 - t_cost
         deltas = jnp.where(parity_odd[..., None], delta_odd, delta_even)
         new_metrics, src, cand = self._prune(metrics, deltas)
-        hard_g = _take_paths(hard, src)
-        idx_g = _take_paths(idx, src)  # [..., L, 4]
-        parity_g = _take_last(parity_odd.astype(jnp.int32), src)
-        flip_table = jnp.asarray(
-            np.stack([_SPC_FLIPS_EVEN, _SPC_FLIPS_ODD])
-        )  # [2, 8, 4]
-        flips = flip_table[parity_g, cand]  # [..., L, 4] bool
+        hard_g = _apply_perm(hard, src)
+        idx_g = _apply_perm(idx, src)  # [..., L, 4]
+        parity_g = self._perm_vec(parity_odd.astype(jnp.int32), src)
+        if isinstance(cand, np.ndarray):
+            even = jnp.asarray(_SPC_FLIPS_EVEN[cand])  # [w', 4]
+            odd = jnp.asarray(_SPC_FLIPS_ODD[cand])
+        else:
+            # select-chain table lookup: indexing the [2, 8, 4] table with
+            # dynamic [.., L] ids compiles to an XLA gather that costs ~51us
+            # per call on TPU regardless of size (profiled: 14 SPC leaves =
+            # 0.7 ms of a 2.5 ms decode); eight fused selects are ~free
+            even = jnp.zeros(cand.shape + (4,), bool)
+            odd = jnp.zeros(cand.shape + (4,), bool)
+            for c in range(8):
+                hit = (cand == c)[..., None]
+                even = jnp.where(hit, jnp.asarray(_SPC_FLIPS_EVEN[c]), even)
+                odd = jnp.where(hit, jnp.asarray(_SPC_FLIPS_ODD[c]), odd)
+        flips = jnp.where((parity_g == 1)[..., None], odd, even)
         pos = jnp.arange(span)
         flip_mask = jnp.any(
             flips[..., :, None] & (pos == idx_g[..., :, None]), axis=-2
@@ -395,7 +460,17 @@ class SCLDecoder:
         sum_abs = jnp.sum(jnp.abs(work), axis=-1, keepdims=True)
         deltas = 0.5 * (scores - sum_abs)
         new_metrics, src, cand = self._prune(metrics, deltas)
-        bits = jnp.asarray(table, dtype=self._sdtype)[cand]  # [..., L, span]
+        if isinstance(cand, np.ndarray):
+            bits = jnp.asarray(table[cand], dtype=self._sdtype)  # [w', span]
+            bits = jnp.broadcast_to(bits, new_metrics.shape + table.shape[1:])
+        else:
+            # one-hot MXU contraction, not table[cand]: dynamic-index table
+            # gathers cost ~51us each on TPU regardless of size
+            onehot = jax.nn.one_hot(cand, table.shape[0], dtype=jnp.float32)
+            bits = jnp.einsum(
+                "...lc,cs->...ls", onehot, jnp.asarray(table),
+                preferred_element_type=jnp.float32,
+            ).astype(self._sdtype)
         return bits, src, new_metrics
 
     # ---- tree recursion (trace-time) --------------------------------------
@@ -420,20 +495,14 @@ class SCLDecoder:
         )
         if p_left is not None:
             # one gather of the whole parent span instead of two halves
-            llr_g = _take_paths(llr, p_left)
+            llr_g = _apply_perm(llr, p_left)
             a, b = llr_g[..., :half], llr_g[..., half:]
         right_bits, p_right, metrics = self._decode_node(
             node.right, g_fn(a, b, left_bits), metrics
         )
         if p_right is not None:
-            left_bits = _take_paths(left_bits, p_right)
-            perm = (
-                p_right
-                if p_left is None
-                else _take_last(p_left, p_right)
-            )
-        else:
-            perm = p_left
+            left_bits = _apply_perm(left_bits, p_right)
+        perm = _compose_perms(p_left, p_right)
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
         return bits, perm, metrics
 
@@ -531,8 +600,15 @@ class SCLDecoder:
         parity_g = jnp.take_along_axis(
             parity_odd.astype(jnp.int32), src, axis=-1
         )  # [B, L]
-        flip_table = jnp.asarray(np.stack([_SPC_FLIPS_EVEN, _SPC_FLIPS_ODD]))
-        flips = flip_table[parity_g, cand]  # [B, L, 4] bool
+        # select-chain lookup (see _leaf_spc: dynamic table gathers are
+        # pathologically slow on TPU)
+        even = jnp.zeros(cand.shape + (4,), bool)
+        odd = jnp.zeros(cand.shape + (4,), bool)
+        for c in range(8):
+            hit = (cand == c)[..., None]
+            even = jnp.where(hit, jnp.asarray(_SPC_FLIPS_EVEN[c]), even)
+            odd = jnp.where(hit, jnp.asarray(_SPC_FLIPS_ODD[c]), odd)
+        flips = jnp.where((parity_g == 1)[..., None], odd, even)  # [B, L, 4]
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, span, 1), 1)
         flip_mask = jnp.zeros(hard_g.shape, dtype=bool)
         for j in range(4):
@@ -627,16 +703,31 @@ class SCLDecoder:
             )
             metrics = metrics.reshape(lead + (self.list_size,))
             return codewords, metrics, metrics > _ACTIVE_THRESHOLD
-        llr_l = jnp.broadcast_to(
-            llr[..., None, :], lead + (self.list_size, self.block_length)
-        )
-        metrics = jnp.full(lead + (self.list_size,), _NEG, dtype=jnp.float32)
-        metrics = metrics.at[..., 0].set(0.0)
+        # progressive widening: start from ONE path per codeword; the list
+        # axis grows at forks (statically, via ("rep", c) perms) until it
+        # reaches L — the frozen-heavy prefix of the tree runs at width 1
+        # and the [.., L, N] root broadcast never exists.
+        llr_l = llr[..., None, :]
+        metrics = jnp.zeros(lead + (1,), dtype=jnp.float32)
         bits, _, metrics = self._decode_node(self.tree, llr_l, metrics)
         if self._int8:
             codewords = (bits < 0).astype(jnp.uint8)
         else:
             codewords = jnp.signbit(bits).astype(jnp.uint8)
+        width = metrics.shape[-1]
+        if width < self.list_size:
+            # degenerate tiny codes that never produce L candidates: pad
+            # with inactive slots to keep the [.., L, ...] API shape
+            pad = self.list_size - width
+            codewords = jnp.concatenate(
+                [codewords,
+                 jnp.zeros(lead + (pad, self.block_length), codewords.dtype)],
+                axis=-2,
+            )
+            metrics = jnp.concatenate(
+                [metrics, jnp.full(lead + (pad,), _NEG, jnp.float32)],
+                axis=-1,
+            )
         active = metrics > _ACTIVE_THRESHOLD
         return codewords, metrics, active
 
