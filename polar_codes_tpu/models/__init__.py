@@ -14,6 +14,7 @@ from .detectors import (
 from .encoder import PolarEncoder
 from .fastssc import FastSSCDecoder
 from .scl import SCLDecoder
+from .large import LargeSCDecoder, LargeSCLDecoder
 from .adaptive import AdaptiveDecoder
 from .scan import ScanDecoder, FastSScanDecoder
 from .depthfirst import DepthFirstDecoder
@@ -35,6 +36,8 @@ __all__ = [
     "PolarEncoder",
     "FastSSCDecoder",
     "SCLDecoder",
+    "LargeSCDecoder",
+    "LargeSCLDecoder",
     "AdaptiveDecoder",
     "ScanDecoder",
     "FastSScanDecoder",

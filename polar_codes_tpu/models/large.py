@@ -1,0 +1,480 @@
+"""Scan-over-schedule SC / SCL decoders for very large block lengths.
+
+The trace-time-specialized decoders (models/fastssc.py, models/scl.py)
+unroll the whole code tree into the XLA program: program size grows
+linearly with N and compilation becomes the bottleneck at the reference's
+benchmark extremes (main_benchmark.cpp:273-503 runs encode up to N=131072
+and decode to N=8192). This module provides the bounded-compile fallback
+promised in SURVEY.md section 7 hard part (d): a `lax.scan` over the SC
+schedule whose compiled program size is O(chunk + log N), independent of N.
+
+Design (the TPU rendering of the classic semi-parallel SC architecture):
+
+- The code tree is cut at chunk span M. The outer loop is a `lax.scan`
+  over the T = N/M leaf chunks in natural order. The scan carry holds one
+  LLR buffer and one partial-sum (bipolar bit) buffer per outer tree
+  stage s = 1..log2(T), of span N >> s — the live SC frontier, total O(N)
+  state instead of the O(N log N) a naive formulation would keep.
+- Per step t, every outer stage is updated *predicated on scalar
+  functions of t* (stage s recomputes f or g only when t is a multiple of
+  2^(S-s)); scalar `jnp.where` keeps the program uniform so XLA compiles
+  ONE body. The same predication drives the upward partial-sum combines
+  (store-left / climb-while-right).
+- The chunk itself is decoded by ONE shared unrolled recursion that is
+  generic over the frozen set: the chunk's frozen mask arrives as scanned
+  data ([T, M], precomputed on the host), leaves are span-1 mask-driven
+  decisions. All chunks share this body, so Fast-SSC-style host
+  specialization is traded for bounded program size — by construction the
+  chunk decoder is *plain* SC (resp. bitwise SCL), the algorithm the
+  specialized trees are shortcuts of.
+- The decoded u-domain chunks are stitched together and the codeword is
+  recovered with the (log N)-stage butterfly afterwards; for SCL, chunk
+  codeword segments accumulate in a [.., L, N] buffer and only the top
+  log2(T) butterfly stages remain to apply (the inner recursion already
+  combined within chunks).
+
+SCL specifics: the list axis rides along every outer buffer; path forks
+inside a chunk compose into ONE permutation (models/scl.py perm algebra)
+that is applied to the outer carry once per chunk, so per-bit forks touch
+only O(M)-sized recursion state — the scan-scale analogue of the
+reference's lazy-copy DataPool (datapool.txx lazyDuplicate).
+
+Capability parity: FastSscAvxFloat / SclAvxFloat semantics at block
+lengths the unrolled decoders cannot reach (decoding N=32768 SCL and
+N=131072 SC with seconds-scale compiles). Bitwise SCL here is *exact*
+(per-bit forks, no SSCL candidate restriction), so its BLER is at least
+as good as the specialized tree's.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..construction import info_indices
+from ..ops.butterfly import butterfly_transform
+from ..ops.fg import (
+    f_minsum,
+    g_update,
+    f_minsum_sat,
+    g_update_sat,
+)
+from .detectors import Detector, Dummy
+from .scl import (
+    SCLDecoder,
+    _NEG,
+    _ACTIVE_THRESHOLD,
+    _apply_perm,
+    _compose_perms,
+    _take_paths,
+    _sign,
+)
+
+
+def _check_pow2(value: int, name: str) -> int:
+    n = value.bit_length() - 1
+    if value <= 0 or (1 << n) != value:
+        raise ValueError(f"{name} {value} is not a power of 2")
+    return n
+
+
+def _frozen_mask_chunks(block_length, frozen, chunk):
+    mask = np.zeros(block_length, dtype=bool)
+    mask[np.asarray(frozen, dtype=np.int64)] = True
+    return mask.reshape(block_length // chunk, chunk)
+
+
+class LargeSCDecoder:
+    """Successive-cancellation decoder with an O(chunk + log N) program.
+
+    Drop-in for FastSSCDecoder at block lengths where full tree unrolling
+    is too large to compile; plain SC hard decisions (bit-identical to the
+    Fast-SSC shortcuts on tie-free inputs, Sarkis et al.).
+    """
+
+    def __init__(
+        self,
+        block_length: int,
+        frozen_bit_positions: Sequence[int],
+        systematic: bool = True,
+        detector: Optional[Detector] = None,
+        dtype=jnp.float32,
+        chunk: int = 512,
+    ):
+        n = _check_pow2(block_length, "block length")
+        chunk = min(chunk, block_length)
+        _check_pow2(chunk, "chunk")
+        self.block_length = block_length
+        self.chunk = chunk
+        self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
+        self.info_pos = info_indices(block_length, self.frozen)
+        self.info_length = int(self.info_pos.size)
+        self.systematic = systematic
+        self.detector = detector if detector is not None else Dummy()
+        self.dtype = jnp.dtype(dtype)
+        if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
+            raise ValueError("LargeSCDecoder supports float32 or int8 LLRs")
+        # int8 (FastSscFipChar parity): integer-valued LLRs stored in f32
+        # with saturating [-127,127] arithmetic — value-identical to the
+        # int8/int16 path and native to the TPU VPU (see ops/fg.py
+        # f_minsum_sat).
+        self._int8 = self.dtype == jnp.int8
+        self._mask_chunks = _frozen_mask_chunks(
+            block_length, self.frozen, chunk
+        )
+        self._outer_stages = n - _check_pow2(chunk, "chunk")
+
+    # ---- arithmetic -------------------------------------------------------
+
+    def _fg(self):
+        if self._int8:
+            return f_minsum_sat, g_update_sat
+        return f_minsum, g_update
+
+    def _hard(self, llr):
+        if self._int8:
+            return jnp.where(llr < 0, -1.0, 1.0).astype(llr.dtype)
+        return _sign(llr)
+
+    # ---- shared chunk decoder (unrolled, mask-driven) ---------------------
+
+    def _chunk_sc(self, llr, mask):
+        """Generic SC over one chunk: llr [B, m], mask [m] traced bool.
+
+        Returns (x bipolar [B, m], u bipolar [B, m])."""
+        m = llr.shape[-1]
+        if m == 1:
+            hard = self._hard(llr)
+            u = jnp.where(mask[0], jnp.ones_like(hard), hard)
+            return u, u
+        f_fn, g_fn = self._fg()
+        half = m // 2
+        a, b = llr[..., :half], llr[..., half:]
+        x_l, u_l = self._chunk_sc(f_fn(a, b), mask[:half])
+        x_r, u_r = self._chunk_sc(g_fn(a, b, x_l), mask[half:])
+        x = jnp.concatenate([x_l * x_r, x_r], axis=-1)
+        u = jnp.concatenate([u_l, u_r], axis=-1)
+        return x, u
+
+    # ---- outer scan -------------------------------------------------------
+
+    def _scan_decode(self, llr_flat):
+        """[B, N] channel LLRs -> u-hat bipolar [B, N]."""
+        n_len, m_len = self.block_length, self.chunk
+        n_outer = self._outer_stages
+        n_chunks = n_len // m_len
+        f_fn, g_fn = self._fg()
+        batch = llr_flat.shape[0]
+
+        if n_chunks == 1:
+            _, u = self._chunk_sc(llr_flat, jnp.asarray(self._mask_chunks[0]))
+            return u
+
+        init_llrs = tuple(
+            jnp.zeros((batch, n_len >> s), llr_flat.dtype)
+            for s in range(1, n_outer + 1)
+        )
+        init_bits = tuple(
+            jnp.zeros((batch, n_len >> s), llr_flat.dtype)
+            for s in range(1, n_outer + 1)
+        )
+
+        def step(carry, xs):
+            llrs, bits = carry
+            t, mask = xs
+            # downward: predicated f/g refresh of every outer stage. Stage
+            # s recomputes when t is a multiple of 2^(S-s); f for a left
+            # child (even node index at that stage), g for a right child.
+            prev = llr_flat
+            new_llrs = []
+            for s in range(1, n_outer + 1):
+                span = n_len >> s
+                a, b = prev[..., :span], prev[..., span:]
+                node = t >> (n_outer - s)
+                need = (t & ((1 << (n_outer - s)) - 1)) == 0
+                is_g = (node & 1) == 1
+                val = jnp.where(is_g, g_fn(a, b, bits[s - 1]), f_fn(a, b))
+                cur = jnp.where(need, val, llrs[s - 1])
+                new_llrs.append(cur)
+                prev = cur
+            # chunk decode (shared body, mask as data)
+            x_chunk, u_chunk = self._chunk_sc(prev, mask)
+            # upward: store-left / climb-while-right partial-sum combines
+            new_bits = list(bits)
+            cur = x_chunk
+            climb = jnp.asarray(True)
+            for s in range(n_outer, 0, -1):
+                node = t >> (n_outer - s)
+                is_right = (node & 1) == 1
+                store = climb & ~is_right
+                left = new_bits[s - 1]
+                new_bits[s - 1] = jnp.where(store, cur, left)
+                cur = jnp.concatenate([left * cur, cur], axis=-1)
+                climb = climb & is_right
+            return (tuple(new_llrs), tuple(new_bits)), u_chunk
+
+        xs = (jnp.arange(n_chunks), jnp.asarray(self._mask_chunks))
+        _, u_chunks = jax.lax.scan(step, (init_llrs, init_bits), xs)
+        # [T, B, M] -> [B, N] in natural leaf order
+        return jnp.moveaxis(u_chunks, 0, -2).reshape(batch, n_len)
+
+    # ---- public API -------------------------------------------------------
+
+    def decode_to_codeword(self, llr):
+        """[..., N] channel LLRs -> [..., N] codeword bits {0,1}."""
+        llr = jnp.asarray(llr)
+        if self._int8:
+            llr = llr.astype(jnp.float32)
+        else:
+            llr = llr.astype(self.dtype)
+        lead = llr.shape[:-1]
+        u = self._scan_decode(llr.reshape((-1, self.block_length)))
+        u01 = (
+            (u < 0).astype(jnp.uint8)
+            if self._int8
+            else jnp.signbit(u).astype(jnp.uint8)
+        )
+        return butterfly_transform(u01).reshape(lead + (self.block_length,))
+
+    def decode(self, llr) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """[..., N] LLRs -> (info [..., K], codeword [..., N], ok [...])."""
+        codeword = self.decode_to_codeword(llr)
+        if self.systematic:
+            info = codeword[..., jnp.asarray(self.info_pos)]
+        else:
+            u = butterfly_transform(codeword)
+            info = u[..., jnp.asarray(self.info_pos)]
+        ok = (
+            self.detector.check(info)
+            if self.detector.tail_bits
+            else jnp.ones(info.shape[:-1], dtype=bool)
+        )
+        return info, codeword, ok
+
+
+class LargeSCLDecoder(SCLDecoder):
+    """Bitwise SCL decoder with an O(chunk + log N) program.
+
+    Inherits pruning, perm algebra, and CRC-aided extraction from
+    SCLDecoder; replaces the unrolled specialized tree with the outer-scan
+    + shared-chunk schedule. Exact per-bit forks (2 candidates per info
+    bit, frozen bits pay the rate-0 penalty), i.e. textbook LLR-based SCL
+    (Balatsoukas-Stimming et al.) rather than the SSCL candidate subsets.
+    """
+
+    def __init__(
+        self,
+        block_length: int,
+        frozen_bit_positions: Sequence[int],
+        list_size: int = 8,
+        systematic: bool = True,
+        detector: Optional[Detector] = None,
+        dtype=jnp.float32,
+        chunk: int = 256,
+    ):
+        n = _check_pow2(block_length, "block length")
+        chunk = min(chunk, block_length)
+        # deliberately NOT calling SCLDecoder.__init__: it builds the
+        # unrolled specialized tree, which is exactly what this class
+        # exists to avoid at large N.
+        self.block_length = block_length
+        self.list_size = int(list_size)
+        self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
+        self.info_pos = info_indices(block_length, self.frozen)
+        self.info_length = int(self.info_pos.size)
+        self.systematic = systematic
+        self.detector = detector if detector is not None else Dummy()
+        self.dtype = jnp.dtype(dtype)
+        if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
+            raise ValueError("LargeSCLDecoder supports float32 or int8 LLRs")
+        self._int8 = self.dtype == jnp.int8
+        self._sdtype = jnp.float32
+        self.enum_span = 0
+        self.max_enum_k = 0
+        self.layout = "batch_first"
+        self.tree = None
+        self._enum_tables = {}
+        self.chunk = chunk
+        self._mask_chunks = _frozen_mask_chunks(
+            block_length, self.frozen, chunk
+        )
+        self._outer_stages = n - _check_pow2(chunk, "chunk")
+
+    # ---- shared chunk decoder ---------------------------------------------
+
+    def _leaf_bit(self, llr, metrics, frozen):
+        """Span-1 mask-driven leaf: llr [B, L, 1], frozen traced scalar.
+
+        Info bit: fork into {keep hard decision, flip} with deltas
+        {0, -|llr|}. Frozen bit: forced to 0 (bipolar +1) with the rate-0
+        penalty min(llr, 0); the flip candidate is killed with the
+        inactive-slot metric so one uniform 2-candidate prune serves both
+        cases."""
+        work = llr[..., 0].astype(jnp.float32)
+        mag = jnp.abs(work)
+        hard = self._hard(llr)
+        zero = jnp.zeros_like(mag)
+        d_info = jnp.stack([zero, -mag], axis=-1)
+        d_frozen = jnp.stack(
+            [jnp.minimum(work, 0.0), jnp.full_like(mag, _NEG)], axis=-1
+        )
+        deltas = jnp.where(frozen, d_frozen, d_info)
+        new_metrics, src, cand = self._prune(metrics, deltas)
+        bits = _apply_perm(hard, src) * self._flip((cand == 1)[..., None])
+        bits = jnp.where(frozen, jnp.ones_like(bits), bits)
+        return bits, src, new_metrics
+
+    def _chunk_scl(self, llr, mask, metrics):
+        """Generic bitwise SCL over one chunk: llr [B, L, m], mask [m].
+
+        Returns (x bipolar [B, L, m], perm, metrics) exactly like
+        SCLDecoder._decode_node."""
+        m = llr.shape[-1]
+        if m == 1:
+            return self._leaf_bit(llr, metrics, mask[0])
+        f_fn, g_fn = self._fg()
+        half = m // 2
+        a, b = llr[..., :half], llr[..., half:]
+        left_bits, p_left, metrics = self._chunk_scl(
+            f_fn(a, b), mask[:half], metrics
+        )
+        if p_left is not None:
+            llr_g = _apply_perm(llr, p_left)
+            a, b = llr_g[..., :half], llr_g[..., half:]
+        right_bits, p_right, metrics = self._chunk_scl(
+            g_fn(a, b, left_bits), mask[half:], metrics
+        )
+        if p_right is not None:
+            left_bits = _apply_perm(left_bits, p_right)
+        perm = _compose_perms(p_left, p_right)
+        bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
+        return bits, perm, metrics
+
+    # ---- outer scan -------------------------------------------------------
+
+    def _combine_chunks(self, xhat):
+        """Apply the top log2(T) butterfly stages (chunk-block granularity)
+        to the accumulated chunk codeword segments [..., N] bipolar."""
+        n_len, m_len = self.block_length, self.chunk
+        n_chunks = n_len // m_len
+        lead = xhat.shape[:-1]
+        x = xhat.reshape(lead + (n_chunks, m_len))
+        stride = 1
+        while stride < n_chunks:
+            x = x.reshape(
+                lead + (n_chunks // (2 * stride), 2, stride, m_len)
+            )
+            upper = x[..., 0, :, :] * x[..., 1, :, :]
+            x = jnp.stack([upper, x[..., 1, :, :]], axis=-3)
+            x = x.reshape(lead + (n_chunks, m_len))
+            stride *= 2
+        return x.reshape(lead + (n_len,))
+
+    def decode_paths(self, llr):
+        """[..., N] LLRs -> (codewords [..., L, N] {0,1}, metrics, active).
+
+        Overrides the unrolled-tree implementation with the outer scan."""
+        llr = jnp.asarray(llr)
+        llr = llr.astype(jnp.float32) if self._int8 else llr.astype(self.dtype)
+        if self._int8:
+            llr = jnp.clip(llr, -127.0, 127.0)
+        lead = llr.shape[:-1]
+        flat = llr.reshape((-1, self.block_length))
+        batch = flat.shape[0]
+        n_len, m_len = self.block_length, self.chunk
+        n_list = self.list_size
+        n_outer = self._outer_stages
+        n_chunks = n_len // m_len
+        f_fn, g_fn = self._fg()
+
+        metrics0 = jnp.full((batch, n_list), _NEG, dtype=jnp.float32)
+        metrics0 = metrics0.at[:, 0].set(0.0)
+
+        if n_chunks == 1:
+            llr_l = jnp.broadcast_to(
+                flat[:, None, :], (batch, n_list, n_len)
+            )
+            bits, _, metrics = self._chunk_scl(
+                llr_l, jnp.asarray(self._mask_chunks[0]), metrics0
+            )
+            codewords = jnp.signbit(bits).astype(jnp.uint8)
+            codewords = codewords.reshape(lead + (n_list, n_len))
+            metrics = metrics.reshape(lead + (n_list,))
+            return codewords, metrics, metrics > _ACTIVE_THRESHOLD
+
+        chan = jnp.broadcast_to(flat[:, None, :], (batch, n_list, n_len))
+        init = dict(
+            llrs=tuple(
+                jnp.zeros((batch, n_list, n_len >> s), flat.dtype)
+                for s in range(1, n_outer + 1)
+            ),
+            bits=tuple(
+                jnp.zeros((batch, n_list, n_len >> s), flat.dtype)
+                for s in range(1, n_outer + 1)
+            ),
+            xhat=jnp.zeros((batch, n_list, n_len), flat.dtype),
+            metrics=metrics0,
+        )
+
+        def step(carry, xs):
+            t, mask = xs
+            llrs, bits = carry["llrs"], carry["bits"]
+            # downward predicated stage refresh (list axis rides along)
+            prev = chan
+            new_llrs = []
+            for s in range(1, n_outer + 1):
+                span = n_len >> s
+                a, b = prev[..., :span], prev[..., span:]
+                node = t >> (n_outer - s)
+                need = (t & ((1 << (n_outer - s)) - 1)) == 0
+                is_g = (node & 1) == 1
+                val = jnp.where(is_g, g_fn(a, b, bits[s - 1]), f_fn(a, b))
+                cur = jnp.where(need, val, llrs[s - 1])
+                new_llrs.append(cur)
+                prev = cur
+            # chunk decode; all within-chunk forks compose into one perm
+            x_chunk, perm, metrics = self._chunk_scl(
+                prev, mask, carry["metrics"]
+            )
+            # apply the chunk's composed perm ONCE to the outer carry —
+            # the scan-scale analogue of lazy path duplication
+            if perm is not None:
+                new_llrs = [_take_paths(x, perm) for x in new_llrs]
+                bits = tuple(_take_paths(x, perm) for x in bits)
+                xhat = _take_paths(carry["xhat"], perm)
+            else:
+                xhat = carry["xhat"]
+            xhat = jax.lax.dynamic_update_slice(
+                xhat, x_chunk, (0, 0, t * m_len)
+            )
+            # upward combines
+            new_bits = list(bits)
+            cur = x_chunk
+            climb = jnp.asarray(True)
+            for s in range(n_outer, 0, -1):
+                node = t >> (n_outer - s)
+                is_right = (node & 1) == 1
+                store = climb & ~is_right
+                left = new_bits[s - 1]
+                new_bits[s - 1] = jnp.where(store, cur, left)
+                cur = jnp.concatenate([left * cur, cur], axis=-1)
+                climb = climb & is_right
+            out = dict(
+                llrs=tuple(new_llrs),
+                bits=tuple(new_bits),
+                xhat=xhat,
+                metrics=metrics,
+            )
+            return out, None
+
+        xs = (jnp.arange(n_chunks), jnp.asarray(self._mask_chunks))
+        final, _ = jax.lax.scan(step, init, xs)
+        codeword_bipolar = self._combine_chunks(final["xhat"])
+        codewords = jnp.signbit(codeword_bipolar).astype(jnp.uint8)
+        metrics = final["metrics"]
+        codewords = codewords.reshape(lead + (n_list, n_len))
+        metrics = metrics.reshape(lead + (n_list,))
+        return codewords, metrics, metrics > _ACTIVE_THRESHOLD

@@ -73,6 +73,15 @@ def enumerate_rows(quick: bool):
     for n_len in ([1024] if quick else [256, 1024]):
         rows.append(dict(kind="scan", N=n_len, K=n_len // 2, C=0, L=4,
                          dtype="float"))
+
+    if not quick:
+        # scan-over-schedule decoders at block lengths beyond the unrolled
+        # trees' compile budget (main_benchmark.cpp runs N up to 131072)
+        for n_len in (32768, 131072):
+            rows.append(dict(kind="sc_scan", N=n_len, K=n_len // 2,
+                             C=0, L=1, dtype="float"))
+        rows.append(dict(kind="cascl_scan", N=32768, K=16384,
+                         C=16, L=8, dtype="float"))
     for row in rows:
         row["bench"] = row_name(row)
     return rows
@@ -84,8 +93,12 @@ def row_name(row):
         return f"encode_n{n_len}_crc{row['C']}"
     if kind == "fastssc":
         return f"fastssc_{row['dtype']}_n{n_len}"
+    if kind == "sc_scan":
+        return f"sc_scan_{row['dtype']}_n{n_len}"
     if kind == "cascl":
         return f"cascl_{row['dtype']}_n{n_len}_l{row['L']}"
+    if kind == "cascl_scan":
+        return f"cascl_scan_{row['dtype']}_n{n_len}_l{row['L']}"
     return f"scan{row['L']}_n{n_len}"
 
 
@@ -132,7 +145,19 @@ def run_row(row, batch_bits, out):
     else:
         frozen = frozen_bits(n_len, k_len, 0.0)
         dtype = jnp.int8 if row["dtype"] == "char" else jnp.float32
-        if kind == "fastssc":
+        if kind in ("sc_scan", "cascl_scan"):
+            from ..models.large import LargeSCDecoder, LargeSCLDecoder
+
+            batch = max(batch_bits // n_len, 8)
+            if kind == "sc_scan":
+                dec = LargeSCDecoder(n_len, frozen, systematic=True,
+                                     dtype=dtype)
+            else:
+                det = make_detector(row["C"], "crc")
+                dec = LargeSCLDecoder(n_len, frozen, list_size=row["L"],
+                                      systematic=True, detector=det,
+                                      dtype=dtype)
+        elif kind == "fastssc":
             dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=dtype)
         elif kind == "cascl":
             det = make_detector(row["C"], "crc")

@@ -31,6 +31,12 @@ from polar_codes_tpu.models.puncturer import Puncturer as _Puncturer
 # (python/__init__.py: from .frozen_bit_positions import ...)
 from polar_codes_tpu.tools.strategies import get_frozen_bit_generator
 
+# Above this block length PolarDecoder switches from the trace-time
+# unrolled trees to the scan-over-schedule decoders (models/large.py):
+# XLA program size for the unrolled trees grows linearly with N and
+# compilation dominates beyond ~16k.
+_LARGE_N_THRESHOLD = 16384
+
 __all__ = [
     "PolarEncoder",
     "PolarDecoder",
@@ -273,7 +279,22 @@ class PolarDecoder:
 
         n, frozen, lst = self._n, self._frozen, self._list
         kw = dict(systematic=self._systematic, detector=self._detector)
-        if lst == 1:
+        if n > _LARGE_N_THRESHOLD:
+            # beyond the unrolled-tree compile budget: scan-over-schedule
+            # decoders (models/large.py) with O(chunk + log N) programs
+            from polar_codes_tpu.models.large import (
+                LargeSCDecoder,
+                LargeSCLDecoder,
+            )
+
+            dtype = jnp.int8 if self._flag == 0 else jnp.float32
+            if lst == 1:
+                self._dec = LargeSCDecoder(n, frozen, dtype=dtype, **kw)
+            else:
+                self._dec = LargeSCLDecoder(
+                    n, frozen, list_size=lst, dtype=dtype, **kw
+                )
+        elif lst == 1:
             dtype = jnp.float32 if self._flag == 1 else jnp.int8
             self._dec = FastSSCDecoder(n, frozen, dtype=dtype, **kw)
         elif self._flag == 3:

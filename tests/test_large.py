@@ -1,0 +1,201 @@
+"""Scan-over-schedule large-N decoders (models/large.py).
+
+Correctness anchors: LargeSCDecoder must equal plain SC (and therefore
+Fast-SSC, Sarkis et al.) bit-for-bit on tie-free inputs; LargeSCLDecoder
+implements textbook bitwise SCL and must match the scalar reference
+(tests/reference_sc.py scl_decode) in metrics and best path. Bounded
+compile is exercised by decoding N=32768 (SC) with a chunk-sized program.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from polar_codes_tpu.construction import frozen_bits
+from polar_codes_tpu.models.fastssc import FastSSCDecoder
+from polar_codes_tpu.models.scl import SCLDecoder
+from polar_codes_tpu.models.large import LargeSCDecoder, LargeSCLDecoder
+from polar_codes_tpu.models.detectors import CRC16
+from polar_codes_tpu.ops.butterfly import butterfly_transform
+from reference_sc import scl_decode
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+class TestLargeSC:
+    @pytest.mark.parametrize("chunk", [32, 128, 512])
+    def test_matches_fastssc(self, chunk, rng):
+        n_len, k_len = 512, 300
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        llr = rng.normal(0, 2, (16, n_len)).astype(np.float32)
+        ref = FastSSCDecoder(n_len, frozen, systematic=True)
+        dec = LargeSCDecoder(n_len, frozen, systematic=True, chunk=chunk)
+        cw_ref = np.asarray(ref.decode_to_codeword(jnp.asarray(llr)))
+        cw = np.asarray(dec.decode_to_codeword(jnp.asarray(llr)))
+        np.testing.assert_array_equal(cw, cw_ref)
+
+    def test_int8_matches_scalar_saturating_sc(self, rng):
+        """int8 mode = plain SC with fi_adds_epi8-saturating g (fip_char
+        semantics). Note this differs from Fast-SSC's int8 leaf shortcuts
+        at saturation boundaries (rep leaves sum without clipping), so the
+        anchor is a scalar saturating SC, not FastSSCDecoder."""
+
+        def sc_sat(llr, mask):
+            n = len(llr)
+            if n == 1:
+                u = 0 if mask[0] else (1 if llr[0] < 0 else 0)
+                return np.array([u], np.uint8), np.array([u], np.uint8)
+            h = n // 2
+            a, b = llr[:h], llr[h:]
+            f = np.sign(a) * np.sign(b) * np.minimum(np.abs(a), np.abs(b))
+            ul, xl = sc_sat(f, mask[:h])
+            g = np.clip(b + (1.0 - 2.0 * xl) * a, -127, 127)
+            ur, xr = sc_sat(g, mask[h:])
+            return (
+                np.concatenate([ul, ur]),
+                np.concatenate([xl ^ xr, xr]),
+            )
+
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        mask = np.zeros(n_len, bool)
+        mask[frozen] = True
+        llr = rng.integers(-100, 101, (16, n_len)).astype(np.int8)
+        dec = LargeSCDecoder(
+            n_len, frozen, systematic=True, dtype=jnp.int8, chunk=64
+        )
+        cw = np.asarray(dec.decode_to_codeword(jnp.asarray(llr)))
+        for i in range(llr.shape[0]):
+            _, x_ref = sc_sat(llr[i].astype(np.float64), mask)
+            np.testing.assert_array_equal(cw[i], x_ref)
+
+    def test_decode_api_and_detector(self, rng):
+        n_len, k_len = 256, 128 + 16
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        det = CRC16()
+        from polar_codes_tpu.models.encoder import PolarEncoder
+
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        dec = LargeSCDecoder(
+            n_len, frozen, systematic=True, detector=det, chunk=64
+        )
+        info = rng.integers(0, 2, (8, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        code = np.asarray(enc.encode(jnp.asarray(info)))
+        llr = (1.0 - 2.0 * code) * 8.0
+        out, cw, ok = dec.decode(jnp.asarray(llr.astype(np.float32)))
+        np.testing.assert_array_equal(np.asarray(out), sent)
+        assert bool(np.all(np.asarray(ok)))
+        # global sign flip -> CRC flags every block
+        _, _, bad = dec.decode(jnp.asarray(-llr.astype(np.float32)))
+        assert not bool(np.any(np.asarray(bad)))
+
+    def test_bounded_compile_n32768(self, rng):
+        """The whole point: N=32768 decodes with a chunk-sized program."""
+        n_len, k_len = 32768, 16384
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        dec = LargeSCDecoder(n_len, frozen, systematic=True, chunk=512)
+        llr = rng.normal(0, 2, (2, n_len)).astype(np.float32)
+        cw = np.asarray(dec.decode_to_codeword(jnp.asarray(llr)))
+        assert cw.shape == (2, n_len)
+        # noiseless round-trip sanity at this size
+        from polar_codes_tpu.models.encoder import PolarEncoder
+
+        enc = PolarEncoder(n_len, frozen, systematic=True)
+        info = rng.integers(0, 2, (2, k_len)).astype(np.uint8)
+        code = np.asarray(enc.encode(jnp.asarray(info)))
+        clean = ((1.0 - 2.0 * code) * 10).astype(np.float32)
+        out, _, _ = dec.decode(jnp.asarray(clean))
+        np.testing.assert_array_equal(np.asarray(out), info)
+
+
+class TestLargeSCL:
+    @pytest.mark.parametrize("chunk,list_size", [(8, 4), (16, 8), (64, 2)])
+    def test_matches_scalar_bitwise_scl(self, chunk, list_size, rng):
+        n_len, k_len = 64, 40
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        mask = np.zeros(n_len, bool)
+        mask[frozen] = True
+        llr = rng.normal(0, 2, (4, n_len)).astype(np.float32)
+        dec = LargeSCLDecoder(
+            n_len, frozen, list_size=list_size, systematic=False, chunk=chunk
+        )
+        cws, mets, _ = dec.decode_paths(jnp.asarray(llr))
+        us = np.asarray(butterfly_transform(cws))
+        mets = np.asarray(mets)
+        for i in range(llr.shape[0]):
+            u_ref, m_ref = scl_decode(llr[i], mask, list_size)
+            np.testing.assert_allclose(
+                np.sort(mets[i])[::-1], m_ref, atol=1e-4
+            )
+            best = np.argmax(mets[i])
+            np.testing.assert_array_equal(us[i, best], u_ref[0])
+
+    def test_ca_scl_roundtrip_noisy(self, rng):
+        """(1024,512) CA-SCL-8 CRC16 at ~2 dB: bitwise SCL must be at
+        least as good as the SSCL tree decoder on the same noise."""
+        n_len, k_len, list_size = 1024, 512, 8
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        det = CRC16()
+        from polar_codes_tpu.models.encoder import PolarEncoder
+        from polar_codes_tpu.dsp import bpsk_modulate, add_awgn
+
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        tree_dec = SCLDecoder(
+            n_len, frozen, list_size=list_size, systematic=True, detector=det
+        )
+        scan_dec = LargeSCLDecoder(
+            n_len,
+            frozen,
+            list_size=list_size,
+            systematic=True,
+            detector=det,
+            chunk=128,
+        )
+        info = rng.integers(0, 2, (64, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        code = enc.encode(jnp.asarray(info))
+        esn0 = 10.0 ** 0.2 * k_len / n_len
+        llr = add_awgn(
+            jax.random.PRNGKey(7), bpsk_modulate(code), esn0_linear=esn0
+        )
+        out_tree, _, _ = tree_dec.decode(llr)
+        out_scan, _, _ = scan_dec.decode(llr)
+        err_tree = np.any(np.asarray(out_tree) != sent, axis=1).sum()
+        err_scan = np.any(np.asarray(out_scan) != sent, axis=1).sum()
+        assert err_scan <= max(err_tree, 2)
+
+    def test_systematic_and_crc_extraction(self, rng):
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        det = CRC16()
+        from polar_codes_tpu.models.encoder import PolarEncoder
+
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        dec = LargeSCLDecoder(
+            n_len, frozen, list_size=4, systematic=True, detector=det,
+            chunk=32,
+        )
+        info = rng.integers(0, 2, (8, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        code = np.asarray(enc.encode(jnp.asarray(info)))
+        llr = ((1.0 - 2.0 * code) * 6.0).astype(np.float32)
+        out, _, ok = dec.decode(jnp.asarray(llr))
+        np.testing.assert_array_equal(np.asarray(out), sent)
+        assert bool(np.all(np.asarray(ok)))
+
+    def test_int8_mode_runs(self, rng):
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        dec = LargeSCLDecoder(
+            n_len, frozen, list_size=4, systematic=True, dtype=jnp.int8,
+            chunk=64,
+        )
+        llr = rng.integers(-100, 101, (4, n_len)).astype(np.int8)
+        cws, mets, act = dec.decode_paths(jnp.asarray(llr))
+        assert np.asarray(cws).shape == (4, 4, n_len)
+        assert bool(np.all(np.asarray(act)[:, 0]))
