@@ -42,9 +42,14 @@ def ask_modulate(bits, bits_per_symbol: int, normalize: bool = True):
     x = bpsk_modulate(bits)
     n_bits = x.shape[-1]
     if n_bits % bits_per_symbol:
-        raise ValueError(
-            f"bit count {n_bits} not a multiple of bits/symbol {bits_per_symbol}"
+        # reference semantics (ask.cpp:57-64): pad the BPSK signal with
+        # +1.0 (bit 0) up to a whole symbol; the demodulator emits the pad
+        # bits too and the caller slices them off
+        pad = bits_per_symbol - n_bits % bits_per_symbol
+        x = jnp.concatenate(
+            [x, jnp.ones(x.shape[:-1] + (pad,), x.dtype)], axis=-1
         )
+        n_bits += pad
     grouped = x.reshape(x.shape[:-1] + (n_bits // bits_per_symbol, bits_per_symbol))
     memory = jnp.cumprod(grouped, axis=-1)
     weights = 2.0 ** jnp.arange(bits_per_symbol - 1, -1, -1, dtype=jnp.float32)
