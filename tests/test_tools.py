@@ -198,3 +198,51 @@ class TestRayleighChannel:
         r_r = ray.run_job(4.0, 1024, key=key, warmup=False)
         assert r_r.BLER > r_a.BLER  # fading hurts at the same SNR
         assert r_a.BLER < 0.2
+
+
+class TestReport:
+    def test_html_report_from_csv_and_jsonl(self, tmp_path):
+        """End-to-end HTML report over a sim CSV + a benchmark JSONL
+        (reference analyze/plot scripts replacement, tools/report.py)."""
+        import json
+
+        from polar_codes_tpu.sim.montecarlo import JobResult, write_csv
+        from polar_codes_tpu.tools.report import render_report
+
+        jobs = [
+            JobResult(N=128, K=64, designSNR=0.0, errorDetection=8, L=4,
+                      EbN0=e, BLER=0.1 / 10 ** i, BER=0.01 / 10 ** i,
+                      RER=0.05, runs=1000, errors=17)
+            for i, e in enumerate((1.0, 2.0, 3.0))
+        ]
+        csv_path = os.path.join(tmp_path, "r_single.csv")
+        write_csv(csv_path, jobs)
+        bench_path = os.path.join(tmp_path, "bench.jsonl")
+        with open(bench_path, "w") as fh:
+            for n_len, secs in ((1024, 1e-3), (4096, 5e-3)):
+                fh.write(json.dumps(dict(
+                    bench=f"cascl_float_n{n_len}_l8", N=n_len,
+                    K=n_len // 2, C=16, L=8, dtype="float", batch=1024,
+                    platform="cpu", seconds_per_batch=secs,
+                    code_thr_mbps=1024 * n_len / secs / 1e6,
+                    info_thr_mbps=512 * n_len / secs / 1e6,
+                    blocks_per_s=1024 / secs)) + "\n")
+        out = os.path.join(tmp_path, "report.html")
+        render_report([csv_path, bench_path], out)
+        doc = open(out).read()
+        assert doc.count("<svg") == 3  # BLER + BER lines, cascl bars
+        assert "cascl_float_n1024_l8" in doc
+        assert "NaN" not in doc
+        # hover metadata on the line charts parses and is aligned
+        import html as _html
+        import re
+
+        metas = re.findall(r"data-chart='([^']*)'", doc)
+        assert len(metas) == 2
+        for meta in metas:
+            d = json.loads(_html.unescape(meta))
+            assert len(d["xs"]) == len(d["xlabels"]) == 3
+            for s in d["series"]:
+                assert len(s["values"]) == 3
+        # table view keeps every row reachable without hover
+        assert doc.count("<table") == 2
