@@ -203,14 +203,21 @@ class SCLDecoder:
         # int8 = SclFipChar parity: LLR/bit state in int8 (halves the gather
         # bandwidth of path forks), path metrics stay float32
         self.dtype = jnp.dtype(dtype)
-        if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8)):
-            raise ValueError("SCLDecoder supports float32 or int8 LLRs")
+        if self.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int8),
+                              jnp.dtype(jnp.bfloat16)):
+            raise ValueError(
+                "SCLDecoder supports float32, bfloat16 or int8 LLRs"
+            )
         self._int8 = self.dtype == jnp.int8
         # int8 (SclFipChar) mode stores integer-valued LLRs in float32 with
         # saturating [-127,127] arithmetic (fi_adds_epi8 value parity). On
         # TPU the VPU is f32-native: emulated int8/int16 vector ops measured
         # 1.75x slower and bf16 storage 1.5x slower (extra cast passes),
         # so value-parity-in-f32 is the fast layout for the "char" path.
+        # dtype=bfloat16 keeps the LLR/bit state in bf16 (half the HBM
+        # traffic of the memory-bound decode) with metric accumulation in
+        # float32; numerics differ from f32 only by bf16 rounding of the
+        # channel LLRs and g-sums.
         self._sdtype = jnp.float32 if self._int8 else self.dtype
         # ENUM leaves flatten small mixed-rate subtrees into one exhaustive
         # ML-enumeration node (one batched matmul; see _leaf_enum). With
@@ -243,19 +250,19 @@ class SCLDecoder:
 
     def _mag(self, llr):
         """|llr| as float32 (metric domain)."""
-        if self._int8:
+        if self._sdtype != jnp.float32:
             return jnp.abs(llr.astype(jnp.float32))
         return jnp.abs(llr)
 
     def _min0sum(self, llr):
         """sum(min(llr, 0)) as float32 over the last axis."""
-        if self._int8:
+        if self._sdtype != jnp.float32:
             work = llr.astype(jnp.float32)
             return jnp.sum(jnp.minimum(work, 0.0), axis=-1)
         return jnp.sum(jnp.minimum(llr, 0.0), axis=-1)
 
     def _max0sum(self, llr):
-        if self._int8:
+        if self._sdtype != jnp.float32:
             work = llr.astype(jnp.float32)
             return jnp.sum(jnp.maximum(work, 0.0), axis=-1)
         return jnp.sum(jnp.maximum(llr, 0.0), axis=-1)
@@ -457,7 +464,9 @@ class SCLDecoder:
             "...ls,cs->...lc", work, jnp.asarray(table),
             preferred_element_type=jnp.float32,
         )
-        sum_abs = jnp.sum(jnp.abs(work), axis=-1, keepdims=True)
+        sum_abs = jnp.sum(
+            jnp.abs(work).astype(jnp.float32), axis=-1, keepdims=True
+        )
         deltas = 0.5 * (scores - sum_abs)
         new_metrics, src, cand = self._prune(metrics, deltas)
         if isinstance(cand, np.ndarray):
@@ -514,11 +523,13 @@ class SCLDecoder:
 
     def _bl_min0sum(self, llr):
         """sum(min(llr,0)) over the span -> [B, L] float32."""
-        work = llr.astype(jnp.float32) if self._int8 else llr
+        work = (llr.astype(jnp.float32) if self._sdtype != jnp.float32
+                else llr)
         return jnp.sum(jnp.minimum(work, 0), axis=1).T.astype(jnp.float32)
 
     def _bl_max0sum(self, llr):
-        work = llr.astype(jnp.float32) if self._int8 else llr
+        work = (llr.astype(jnp.float32) if self._sdtype != jnp.float32
+                else llr)
         return jnp.sum(jnp.maximum(work, 0), axis=1).T.astype(jnp.float32)
 
     def _bl_weakest(self, mag, count: int):
@@ -545,7 +556,8 @@ class SCLDecoder:
     def _bl_leaf_rate1(self, llr, metrics):
         span = llr.shape[1]
         hard = self._hard(llr)
-        mag = jnp.abs(llr.astype(jnp.float32)) if self._int8 else jnp.abs(llr)
+        mag = (jnp.abs(llr.astype(jnp.float32))
+               if self._sdtype != jnp.float32 else jnp.abs(llr))
         if span == 1:
             m0 = mag[:, 0, :].T.astype(jnp.float32)  # [B, L]
             deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=-1)
@@ -586,7 +598,8 @@ class SCLDecoder:
     def _bl_leaf_spc(self, llr, metrics):
         span = llr.shape[1]
         hard = self._hard(llr)
-        mag = jnp.abs(llr.astype(jnp.float32)) if self._int8 else jnp.abs(llr)
+        mag = (jnp.abs(llr.astype(jnp.float32))
+               if self._sdtype != jnp.float32 else jnp.abs(llr))
         m, idx = self._bl_weakest(mag, 4)  # m [B, L, 4]
         neg = jnp.sum((hard < 0).astype(jnp.int32), axis=1)  # [L, B]
         parity_odd = (neg % 2 == 1).T  # [B, L]
@@ -627,7 +640,9 @@ class SCLDecoder:
             "lsb,cs->blc", work, jnp.asarray(table),
             preferred_element_type=jnp.float32,
         )
-        sum_abs = jnp.sum(jnp.abs(work), axis=1).T[..., None]  # [B, L, 1]
+        sum_abs = jnp.sum(
+            jnp.abs(work).astype(jnp.float32), axis=1
+        ).T[..., None]  # [B, L, 1]
         deltas = 0.5 * (scores - sum_abs)
         new_metrics, src, cand = self._prune(metrics, deltas)
         # bits[l, s, b] = table[cand[b, l], s]

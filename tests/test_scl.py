@@ -180,3 +180,42 @@ class TestInt8:
         llr = (bpsk_modulate(code) * 20).astype(jnp.int8)
         decoded, _, _ = dec.decode(llr)
         np.testing.assert_array_equal(np.asarray(decoded), info)
+
+
+class TestBfloat16:
+    def test_bf16_matches_float_bler(self, rng):
+        """bfloat16 LLR/bit state (half the HBM traffic of the
+        memory-bound decode) must match float32 BLER up to bf16 rounding
+        of the channel LLRs."""
+        from polar_codes_tpu.models.detectors import CRC16
+
+        n_len, k_len, list_size = 256, 128, 8
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        det = CRC16()
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        d32 = SCLDecoder(n_len, frozen, list_size=list_size, systematic=True,
+                         detector=det)
+        d16 = SCLDecoder(n_len, frozen, list_size=list_size, systematic=True,
+                         detector=det, dtype=jnp.bfloat16)
+        info = rng.integers(0, 2, (512, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        tx = bpsk_modulate(enc.encode(jnp.asarray(info)))
+        rx = add_awgn(jax.random.PRNGKey(23), tx,
+                      esn0_linear=10 ** 0.15 * k_len / n_len)
+        g32, _, _ = d32.decode(rx)
+        g16, _, _ = d16.decode(rx)
+        b32 = np.any(np.asarray(g32) != sent, axis=1).mean()
+        b16 = np.any(np.asarray(g16) != sent, axis=1).mean()
+        assert b16 <= b32 + 0.02
+
+    def test_bf16_noiseless(self, rng):
+        n_len, k_len = 128, 64
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        enc = PolarEncoder(n_len, frozen, systematic=True)
+        dec = SCLDecoder(n_len, frozen, list_size=4, systematic=True,
+                         dtype=jnp.bfloat16)
+        info = rng.integers(0, 2, (8, k_len)).astype(np.uint8)
+        code = enc.encode(jnp.asarray(info))
+        llr = bpsk_modulate(code) * 20
+        decoded, _, _ = dec.decode(llr)
+        np.testing.assert_array_equal(np.asarray(decoded), info)
