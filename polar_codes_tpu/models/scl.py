@@ -240,6 +240,21 @@ class SCLDecoder:
             enum_span=enum_span, max_enum_k=max_enum_k,
         )
         self._enum_tables = {}
+        # L=1 SCL degenerates to plain SC: the single path always keeps its
+        # best candidate, which is exactly the Fast-SSC decision at every
+        # leaf. Delegate to the Fast-SSC schedule (no prune/fork machinery;
+        # ~300x faster at N=1024) and recover the path metric from the
+        # telescoped codeword-domain form of the aggregate min-sum metric,
+        # PM(x) = sum_i min((1-2x_i) llr_i, 0)  (same identity _leaf_enum
+        # uses at leaf level).
+        self._sc = None
+        if self.list_size == 1:
+            from .fastssc import FastSSCDecoder
+
+            self._sc = FastSSCDecoder(
+                block_length, self.frozen, systematic=True,
+                dtype=self.dtype,
+            )
 
     # ---- dtype-generic arithmetic ----------------------------------------
 
@@ -322,7 +337,13 @@ class SCLDecoder:
             new_metrics = cand.reshape(cand.shape[:-2] + (width * n_cand,))
             cand_id = np.tile(np.arange(n_cand), width)
             return new_metrics, ("rep", n_cand), cand_id
-        if n_cand > n_list:
+        if n_cand > n_list and width * n_cand > 16:
+            # per-path pre-prune pays off only for wide candidate lists:
+            # at <=16 total candidates the single flat top_k beats two
+            # top_k passes plus the id gather (measured at N=1024: the
+            # double pass made L=2 SLOWER than L=4 — SPC's 8 candidates
+            # tripped this branch — while at 32 flat candidates the flat
+            # sort is the slower side, so the threshold sits at 16).
             # lax.top_k (sort-based) measured faster here than k rounds of
             # max/argmax extraction — the sort amortizes across w*C
             local_vals, local_idx = jax.lax.top_k(cand, n_list)
@@ -707,6 +728,18 @@ class SCLDecoder:
         """[..., N] channel LLRs -> (codewords [..., L, N] {0,1},
         metrics [..., L], active [..., L])."""
         llr = jnp.asarray(llr, dtype=self.dtype)
+        if self._sc is not None:  # L=1: plain SC via the Fast-SSC schedule
+            codeword = self._sc.decode_to_codeword(llr)
+            work = llr.astype(jnp.float32)
+            bip = 1.0 - 2.0 * codeword.astype(jnp.float32)
+            metrics = 0.5 * (
+                jnp.sum(bip * work, axis=-1) - jnp.sum(jnp.abs(work), axis=-1)
+            )
+            return (
+                codeword[..., None, :].astype(jnp.uint8),
+                metrics[..., None],
+                jnp.ones(metrics.shape + (1,), dtype=bool),
+            )
         if self._int8:
             llr = llr.astype(self._sdtype)
         lead = llr.shape[:-1]
