@@ -219,3 +219,24 @@ class TestBfloat16:
         llr = bpsk_modulate(code) * 20
         decoded, _, _ = dec.decode(llr)
         np.testing.assert_array_equal(np.asarray(decoded), info)
+
+
+class TestBatchLastLayout:
+    """layout="batch_last" is the same math with batch on the VPU lanes;
+    outputs must match batch_first bit-for-bit."""
+
+    def test_layouts_agree_on_noisy_blocks(self, rng):
+        n_len, k_len, list_size = 256, 128, 8
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        det = CRC16()
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        d_bf = SCLDecoder(n_len, frozen, list_size=list_size,
+                          systematic=True, detector=det)
+        d_bl = SCLDecoder(n_len, frozen, list_size=list_size,
+                          systematic=True, detector=det, layout="batch_last")
+        info = rng.integers(0, 2, (96, k_len)).astype(np.uint8)
+        tx = bpsk_modulate(enc.encode(jnp.asarray(info)))
+        rx = add_awgn(jax.random.PRNGKey(31), tx,
+                      esn0_linear=10 ** 0.2 * k_len / n_len)
+        for a, b in zip(d_bf.decode(rx), d_bl.decode(rx)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
