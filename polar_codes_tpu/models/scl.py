@@ -223,6 +223,7 @@ class SCLDecoder:
         enum_span: int = 16,
         max_enum_k: int = 4,
         layout: str = "batch_first",
+        backend: str = "xla",
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -274,6 +275,15 @@ class SCLDecoder:
         if layout not in ("batch_last", "batch_first"):
             raise ValueError(f"unknown layout {layout}")
         self.layout = layout
+        # backend="pallas": fused VMEM-resident subtree kernels
+        # (ops/scl_kernel_bl.py) — ~1.45x the XLA path at N=1024 L=8 on
+        # v5e (0.62 vs 0.90 ms/1024 blocks). float32 + batch_first only;
+        # falls back to XLA otherwise. Same candidate sets and tie order;
+        # BLER statistically identical (A/B over 8192 blocks @1.5 dB).
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+        self._pallas_fn = None
         self.tree: CodeNode = build_tree(
             block_length, self.frozen,
             enum_span=enum_span, max_enum_k=max_enum_k,
@@ -788,6 +798,38 @@ class SCLDecoder:
             codewords = jnp.signbit(bits).astype(jnp.uint8)
         return codewords.transpose(2, 0, 1), metrics
 
+    # ---- Pallas backend ----------------------------------------------------
+
+    _PALLAS_TILE = 128  # batch tile = VPU lane width
+
+    def _decode_paths_pallas(self, llr, lead):
+        """Fused VMEM-resident subtree kernels (ops/scl_kernel_bl.py)."""
+        if self._pallas_fn is None:
+            from ..ops.scl_kernel_bl import build_bl_hybrid_decode_paths
+
+            self._pallas_fn = build_bl_hybrid_decode_paths(
+                self,
+                batch_tile=self._PALLAS_TILE,
+                kernel_span=min(256, self.block_length),
+            )
+        flat = llr.reshape((-1, self.block_length))
+        n_batch = flat.shape[0]
+        tile = self._PALLAS_TILE
+        pad = (-n_batch) % tile
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, self.block_length), flat.dtype)]
+            )
+        codewords, metrics = self._pallas_fn(flat)
+        if pad:
+            codewords = codewords[:n_batch]
+            metrics = metrics[:n_batch]
+        codewords = codewords.reshape(
+            lead + (self.list_size, self.block_length)
+        )
+        metrics = metrics.reshape(lead + (self.list_size,))
+        return codewords, metrics, metrics > _ACTIVE_THRESHOLD
+
     # ---- public API --------------------------------------------------------
 
     def decode_paths(self, llr):
@@ -809,6 +851,12 @@ class SCLDecoder:
         if self._int8:
             llr = llr.astype(self._sdtype)
         lead = llr.shape[:-1]
+        if (
+            self.backend == "pallas"
+            and self.layout == "batch_first"
+            and self.dtype == jnp.dtype(jnp.float32)
+        ):
+            return self._decode_paths_pallas(llr, lead)
         if self.layout == "batch_last":
             flat = llr.reshape((-1, self.block_length))
             codewords, metrics = self._decode_paths_batch_last(flat)

@@ -48,3 +48,80 @@ def test_interpret_all_leaf_kinds(rng):
     )
     np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
     assert len(kinds) >= 3  # tree actually mixes leaf types
+
+
+class TestBatchOnLanesKernel:
+    """Second-generation [L, span, B] subtree kernels
+    (ops/scl_kernel_bl.py): interpret-mode equivalence with the XLA path.
+    The compiled TPU path is A/B'd on hardware (BLER statistically
+    identical over 8192 blocks; see the module docstring)."""
+
+    @pytest.mark.parametrize(
+        "n_len,k_len,list_size,span",
+        [(256, 128, 8, 64), (256, 160, 4, 256), (1024, 512, 8, 256)],
+    )
+    def test_interpret_matches_xla(self, n_len, k_len, list_size, span, rng):
+        from polar_codes_tpu.ops.scl_kernel_bl import (
+            build_bl_hybrid_decode_paths,
+        )
+
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        dec = SCLDecoder(n_len, frozen, list_size=list_size, detector=CRC16())
+        fn = build_bl_hybrid_decode_paths(
+            dec, batch_tile=16, kernel_span=span, interpret=True
+        )
+        llr = jnp.asarray(rng.normal(0, 2, (32, n_len)), jnp.float32)
+        cw_ref, m_ref, _ = dec.decode_paths(llr)
+        cw, m = fn(llr)
+        np.testing.assert_allclose(
+            np.asarray(m), np.asarray(m_ref), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
+
+    def test_all_leaf_kinds(self, rng):
+        from polar_codes_tpu.ops.scl_kernel_bl import (
+            build_bl_hybrid_decode_paths,
+        )
+
+        n_len = 64
+        frozen = sorted(
+            set(
+                list(range(16))
+                + [16, 17, 18, 20, 24]
+                + [32, 33, 34, 35, 36, 37, 38]
+                + [48]
+            )
+        )
+        dec = SCLDecoder(n_len, frozen, list_size=4, enum_span=8,
+                         max_enum_k=3)
+        fn = build_bl_hybrid_decode_paths(
+            dec, batch_tile=8, kernel_span=32, interpret=True
+        )
+        llr = jnp.asarray(rng.normal(0, 2, (16, n_len)), jnp.float32)
+        cw_ref, m_ref, _ = dec.decode_paths(llr)
+        cw, m = fn(llr)
+        np.testing.assert_allclose(
+            np.asarray(m), np.asarray(m_ref), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
+
+    def test_backend_pallas_pads_odd_batches(self, rng):
+        # the decoder-level backend wires padding/reshape around the tile;
+        # exercised in interpret mode by monkeypatching the builder flag
+        import polar_codes_tpu.ops.scl_kernel_bl as kbl
+
+        frozen = frozen_bits(128, 64, 0.0)
+        dec = SCLDecoder(128, frozen, list_size=4, detector=CRC16(),
+                         backend="pallas")
+        dec._PALLAS_TILE = 8
+        orig = kbl.build_bl_hybrid_decode_paths
+        dec._pallas_fn = orig(dec, batch_tile=8, kernel_span=128,
+                              interpret=True)
+        ref = SCLDecoder(128, frozen, list_size=4, detector=CRC16())
+        llr = jnp.asarray(rng.normal(0, 2, (13, 128)), jnp.float32)
+        cw, m, act = dec.decode_paths(llr)
+        cw_r, m_r, act_r = ref.decode_paths(llr)
+        np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_r))
+        np.testing.assert_allclose(
+            np.asarray(m), np.asarray(m_r), rtol=1e-4, atol=1e-4
+        )
