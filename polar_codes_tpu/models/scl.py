@@ -804,14 +804,7 @@ class SCLDecoder:
 
     def _decode_paths_pallas(self, llr, lead):
         """Fused VMEM-resident subtree kernels (ops/scl_kernel_bl.py)."""
-        if self._pallas_fn is None:
-            from ..ops.scl_kernel_bl import build_bl_hybrid_decode_paths
-
-            self._pallas_fn = build_bl_hybrid_decode_paths(
-                self,
-                batch_tile=self._PALLAS_TILE,
-                kernel_span=min(256, self.block_length),
-            )
+        self._build_pallas()
         flat = llr.reshape((-1, self.block_length))
         n_batch = flat.shape[0]
         tile = self._PALLAS_TILE
@@ -829,6 +822,63 @@ class SCLDecoder:
         )
         metrics = metrics.reshape(lead + (self.list_size,))
         return codewords, metrics, metrics > _ACTIVE_THRESHOLD
+
+    def _build_pallas(self):
+        if self._pallas_fn is None:
+            from ..ops.scl_kernel_bl import build_bl_hybrid_decode_paths
+
+            self._pallas_fn = build_bl_hybrid_decode_paths(
+                self,
+                batch_tile=self._PALLAS_TILE,
+                kernel_span=min(256, self.block_length),
+            )
+        return self._pallas_fn
+
+    def _decode_pallas_fast(self, llr):
+        """decode() in the kernel-native [L, N, B] layout: CRC-aided
+        selection reads the per-path codewords where they land, and only
+        the ONE selected codeword is relayouted to [B, N] — skipping the
+        [B, L, N] transpose + per-path gathers of the generic path
+        (~0.2 ms at N=1024 L=8 B=1024)."""
+        fn = self._build_pallas()
+        llr = jnp.asarray(llr, dtype=self.dtype)
+        lead = llr.shape[:-1]
+        flat = llr.reshape((-1, self.block_length))
+        n_batch = flat.shape[0]
+        pad = (-n_batch) % self._PALLAS_TILE
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, self.block_length), flat.dtype)]
+            )
+        cw, metrics = fn.raw(flat)  # [L, N, Bp] u8, [Bp, L] f32
+        n_list = self.list_size
+        info_pos = jnp.asarray(self.info_pos)
+        active = metrics > _ACTIVE_THRESHOLD
+        if self.detector.tail_bits:
+            info_all = cw[:, info_pos, :].transpose(0, 2, 1)  # [L, B, K]
+            ok_all = self.detector.check(info_all).T & active  # [Bp, L]
+            score = jnp.where(ok_all, metrics, _NEG)
+            best_ok = jnp.argmax(score, axis=-1)
+            best_ml = jnp.argmax(metrics, axis=-1)
+            any_ok = jnp.any(ok_all, axis=-1)
+            sel = jnp.where(any_ok, best_ok, best_ml)
+            detector_ok = any_ok
+        else:
+            sel = jnp.argmax(metrics, axis=-1)
+            detector_ok = jnp.ones(sel.shape, dtype=bool)
+        cw_sel = cw[0]  # [N, Bp]; select chain over the list axis
+        for k in range(1, n_list):
+            cw_sel = jnp.where((sel == k)[None, :], cw[k], cw_sel)
+        codeword = cw_sel.T  # [Bp, N]
+        if pad:
+            codeword = codeword[:n_batch]
+            detector_ok = detector_ok[:n_batch]
+        info = codeword[:, info_pos]
+        return (
+            info.reshape(lead + (self.info_length,)),
+            codeword.reshape(lead + (self.block_length,)),
+            detector_ok.reshape(lead),
+        )
 
     # ---- public API --------------------------------------------------------
 
@@ -899,6 +949,14 @@ class SCLDecoder:
 
         Best-path selection mirrors extractBestPath (scl_avx_float.cpp:711):
         highest-metric path whose CRC checks; if none, the ML path."""
+        if (
+            self.backend == "pallas"
+            and self.systematic
+            and self._sc is None
+            and self.layout == "batch_first"
+            and self.dtype == jnp.dtype(jnp.float32)
+        ):
+            return self._decode_pallas_fast(llr)
         codewords, metrics, active = self.decode_paths(llr)
         if self.systematic:
             info_all = codewords[..., jnp.asarray(self.info_pos)]

@@ -385,7 +385,11 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
         return bits, perm, metrics
 
-    def run(llr):
+    def run_raw(llr):
+        """llr [B, N] -> (codewords [L, N, B] u8 — the kernel-native
+        layout, NO relayout — and metrics [B, L]). Callers that can consume
+        the [L, N, B] layout (CRC-aided selection) avoid the ~0.1 ms
+        [B, L, N] transpose of all L paths."""
         llr = llr.astype(jnp.float32)
         n_batch = llr.shape[0]
         if n_batch % batch_tile:
@@ -399,6 +403,11 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         metrics = metrics.at[:, 0].set(0.0)
         bits, _, metrics = xla_node(decoder.tree, llr_l, metrics)
         codewords = jnp.signbit(bits).astype(jnp.uint8)  # [L, N, B]
+        return codewords, metrics
+
+    def run(llr):
+        codewords, metrics = run_raw(llr)
         return codewords.transpose(2, 0, 1), metrics
 
+    run.raw = run_raw
     return run

@@ -125,3 +125,9 @@ class TestBatchOnLanesKernel:
         np.testing.assert_allclose(
             np.asarray(m), np.asarray(m_r), rtol=1e-4, atol=1e-4
         )
+        # the fused decode() path (layout-native CRC-aided selection)
+        i, c, ok = dec.decode(llr)
+        i_r, c_r, ok_r = ref.decode(llr)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_r))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_r))
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_r))
