@@ -64,9 +64,12 @@ def enumerate_rows(quick: bool):
     scl_ls = [2, 8] if quick else [1, 2, 4, 8, 16, 32]
     for n_len in ([1024] if quick else [256, 1024, 4096]):
         for list_size in scl_ls:
-            for tag in ("float", "char"):
+            for tag in ("float", "char", "pallas"):
                 if n_len == 4096 and list_size > 8:
                     continue  # compile-time guard; covered at 1024
+                if tag == "pallas" and (list_size == 1 or list_size > 16):
+                    # L=1 delegates to Fast-SSC; L=32 state exceeds VMEM
+                    continue
                 rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
                                  C=16, L=list_size, dtype=tag))
 
@@ -161,8 +164,10 @@ def run_row(row, batch_bits, out):
             dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=dtype)
         elif kind == "cascl":
             det = make_detector(row["C"], "crc")
+            backend = "pallas" if row["dtype"] == "pallas" else "xla"
             dec = SCLDecoder(n_len, frozen, list_size=row["L"],
-                             systematic=True, detector=det, dtype=dtype)
+                             systematic=True, detector=det, dtype=dtype,
+                             backend=backend)
         else:
             dec = ScanDecoder(n_len, frozen, systematic=True,
                               iterations=row["L"])
