@@ -212,6 +212,11 @@ class SCLDecoder:
     north-star configuration.
     """
 
+    # class defaults so subclasses that bypass __init__ (LargeSCLDecoder)
+    # keep the XLA backend
+    backend = "xla"
+    _pallas_fn = None
+
     def __init__(
         self,
         block_length: int,
