@@ -55,23 +55,62 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _rep0(x, c):
+    """jnp.repeat(x, c, axis=0) as a static concat of slices (Mosaic-safe).
+
+    The ("rep", c) perm of progressive list widening: each of the w live
+    paths forks into c children, so the gather is a fixed tiling."""
+    if c == 1:
+        return x
+    return jnp.concatenate(
+        [x[k : k + 1] for k in range(x.shape[0]) for _ in range(c)], axis=0
+    )
+
+
 def _take_state(x, src):
-    """Gather [L, S, B] state along the path axis by src [L, B]:
-    out[l] = x[src[l, b]] — a select chain (no gather op in Mosaic)."""
-    n_list = x.shape[0]
+    """Gather [w_in, S, B] state along the path axis by src [w_out, B]:
+    out[l] = x[src[l, b]] — a select chain (no gather op in Mosaic).
+    src may also be a static ("rep", c) widening perm."""
+    if src is None:
+        return x
+    if isinstance(src, tuple):
+        return _rep0(x, src[1])
+    w_in = x.shape[0]
     out = jnp.broadcast_to(x[0:1], src.shape[:1] + x.shape[1:])
-    for k in range(1, n_list):
+    for k in range(1, w_in):
         out = jnp.where((src == k)[:, None, :], x[k : k + 1], out)
     return out
 
 
 def _take_vec(v, src):
-    """Gather [L, B] per-path values by src [L, B]: out[l, b] = v[src[l,b], b]."""
-    n_list = v.shape[0]
+    """Gather [w_in, B] per-path values by src [w_out, B]:
+    out[l, b] = v[src[l, b], b]. Tuple src = static widening tile."""
+    if src is None:
+        return v
+    if isinstance(src, tuple):
+        return _rep0(v, src[1])
+    w_in = v.shape[0]
     out = jnp.broadcast_to(v[0:1], src.shape)
-    for k in range(1, n_list):
+    for k in range(1, w_in):
         out = jnp.where(src == k, v[k : k + 1], out)
     return out
+
+
+def _compose0(p_early, p_late):
+    """Composition of path-axis perms ([w, B] arrays or ("rep", c) tuples):
+    maps final slots to the slots before p_early (models/scl.py
+    _compose_perms, in the [list-first, B] layout)."""
+    if p_early is None:
+        return p_late
+    if p_late is None:
+        return p_early
+    if isinstance(p_early, tuple):
+        if isinstance(p_late, tuple):
+            return ("rep", p_early[1] * p_late[1])
+        return p_late // p_early[1]
+    if isinstance(p_late, tuple):
+        return _rep0(p_early, p_late[1])
+    return _take_vec(p_early, p_late)
 
 
 class _BlEmitter:
@@ -84,17 +123,29 @@ class _BlEmitter:
     # -- pruning -------------------------------------------------------------
 
     def _prune(self, metrics, deltas):
-        """metrics [L, B], deltas [C, L, B] -> (metrics' [L, B], src [L, B],
-        cand [L, B]).
+        """metrics [w, B], deltas [C, w, B] -> (metrics' [w', B],
+        src ([w', B] or ("rep", C)), cand [w', B]).
 
-        Iterative max extraction over the C*L candidates with flat code
+        Progressive widening: while w*C <= L nothing is pruned — every
+        candidate survives in l-major order (new slot l*C + c), the perm is
+        the static ("rep", C) tile and the candidate ids are iota % C, so
+        no extraction runs at all (models/scl.py _prune parity). Past L:
+        iterative max extraction over the C*w candidates with flat code
         l*C + c — the same order lax.top_k uses on the XLA path's
         [..., w*C] flattening, so tie-breaking matches exactly. L rounds of
         (max, first-argmax, mask); everything lane-parallel over B."""
         n_list, n_cand = self.n_list, deltas.shape[0]
-        cand = metrics[None, :, :] + deltas  # [C, L, B]
+        width = metrics.shape[0]
+        cand = metrics[None, :, :] + deltas  # [C, w, B]
+        if width * n_cand <= n_list:
+            new_metrics = jnp.concatenate(
+                [cand[c : c + 1, l] for l in range(width)
+                 for c in range(n_cand)], axis=0,
+            )  # [w*C, B], l-major
+            cand_id = _iota(new_metrics.shape, 0) % n_cand
+            return new_metrics, ("rep", n_cand), cand_id
         code = _iota(cand.shape, 1) * n_cand + _iota(cand.shape, 0)
-        total = n_list * n_cand
+        total = width * n_cand
         cur = cand
         vals, codes = [], []
         for _ in range(n_list):
@@ -177,7 +228,8 @@ class _BlEmitter:
         deltas = jnp.stack([d_zero, d_one], axis=0)
         new_metrics, src, cand = self._prune(metrics, deltas)
         bits = jnp.broadcast_to(
-            jnp.where((cand != 0)[:, None, :], -1.0, 1.0), llr.shape
+            jnp.where((cand != 0)[:, None, :], -1.0, 1.0),
+            cand.shape[:1] + llr.shape[1:],
         )
         return bits, src, new_metrics
 
@@ -246,7 +298,7 @@ class _BlEmitter:
         # decision bits from static +-1 patterns: Pallas kernels cannot
         # capture array constants, so the pattern is rebuilt from iota
         # comparisons against the (static) negative positions
-        bits = jnp.ones(src.shape[:1] + llr.shape[1:], jnp.float32)
+        bits = jnp.ones(cand.shape[:1] + llr.shape[1:], jnp.float32)
         pos = _iota(bits.shape, 1)
         for c in range(n_cand):
             neg_positions = [s for s in range(span) if table[c, s] < 0]
@@ -284,17 +336,44 @@ class _BlEmitter:
         )
         if p_right is not None:
             left_bits = _take_state(left_bits, p_right)
-            perm = p_right if p_left is None else _take_vec(p_left, p_right)
-        else:
-            perm = p_left
+        perm = _compose0(p_left, p_right)
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
         return bits, perm, metrics
+
+
+def _static_width(decoder, node: CodeNode, w: int) -> int:
+    """Trace-time list-width evolution through a subtree: each leaf fork
+    multiplies the width by its candidate count, clamped at L (the exact
+    widening rule of _BlEmitter._prune / models/scl.py _prune)."""
+    n_list = decoder.list_size
+    kind = node.kind
+    if kind == NodeKind.RATE0:
+        return w
+    if kind == NodeKind.BRANCH:
+        w = _static_width(decoder, node.left, w)
+        return _static_width(decoder, node.right, w)
+    if kind == NodeKind.RATE1:
+        n_cand = 2 if node.length == 1 else 4
+    elif kind == NodeKind.REP:
+        n_cand = 2
+    elif kind == NodeKind.SPC:
+        n_cand = 8
+    else:  # ENUM
+        n_cand = decoder._enum_table(node).shape[0]
+    return min(w * n_cand, n_list)
 
 
 def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  kernel_span: int = 256,
                                  interpret: bool = False):
-    """Pallas [L, S, B] subtree kernels + XLA glue above.
+    """Pallas [w, S, B] subtree kernels + XLA glue above.
+
+    Progressive list widening runs end-to-end: the decode starts at width 1
+    (no [L, N, B] root broadcast exists), glue levels and the frozen-heavy
+    leftmost kernels carry only the live w < L paths, and widths grow at
+    forks via static ("rep", c) tiles until they reach L (models/scl.py
+    batch_first semantics; identical candidate sets, slot order, and
+    tie-breaking).
 
     Returns fn: llr [B, N] f32 -> (codewords [B, L, N] u8, metrics [B, L]).
     B must be a multiple of batch_tile."""
@@ -303,64 +382,112 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     emitter = _BlEmitter(decoder)
     subtree_cache = {}
 
-    def subtree_call(node: CodeNode):
-        fn = subtree_cache.get(id(node))
+    def subtree_call(node: CodeNode, w_in: int):
+        fn = subtree_cache.get((id(node), w_in))
         if fn is not None:
             return fn
         span = node.length
+        w_out = _static_width(decoder, node, w_in)
 
         def kernel(llr_ref, metrics_ref, bits_ref, perm_ref, out_met_ref):
-            metrics = metrics_ref[...].T  # [L, B]
+            metrics = metrics_ref[...].T  # [w_in, B]
             bits, perm, metrics = emitter.node(node, llr_ref[...], metrics)
             if perm is None:
-                perm = _iota((n_list, batch_tile), 0)
+                perm = _iota((w_out, batch_tile), 0)
+            elif isinstance(perm, tuple):
+                # pure widening inside this subtree: slot j sourced j // c
+                perm = _iota((w_out, batch_tile), 0) // perm[1]
             bits_ref[...] = bits
             perm_ref[...] = perm.T
             out_met_ref[...] = metrics.T
 
         def call(llr, metrics):
-            """llr [L, span, B] f32, metrics [B, L] -> (bits [L, span, B],
-            perm [B, L], metrics [B, L])."""
+            """llr [w_in, span, B] f32, metrics [B, w_in] -> (bits
+            [w_out, span, B], perm [B, w_out], metrics [B, w_out])."""
             n_batch = llr.shape[-1]
             grid = (n_batch // batch_tile,)
             return pl.pallas_call(
                 kernel,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((n_list, span, batch_tile),
+                    pl.BlockSpec((w_in, span, batch_tile),
                                  lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((batch_tile, n_list), lambda i: (i, 0),
+                    pl.BlockSpec((batch_tile, w_in), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((n_list, span, batch_tile),
+                    pl.BlockSpec((w_out, span, batch_tile),
                                  lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((batch_tile, n_list), lambda i: (i, 0),
+                    pl.BlockSpec((batch_tile, w_out), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((batch_tile, n_list), lambda i: (i, 0),
+                    pl.BlockSpec((batch_tile, w_out), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((n_list, span, n_batch), jnp.float32),
-                    jax.ShapeDtypeStruct((n_batch, n_list), jnp.int32),
-                    jax.ShapeDtypeStruct((n_batch, n_list), jnp.float32),
+                    jax.ShapeDtypeStruct((w_out, span, n_batch), jnp.float32),
+                    jax.ShapeDtypeStruct((n_batch, w_out), jnp.int32),
+                    jax.ShapeDtypeStruct((n_batch, w_out), jnp.float32),
                 ],
                 interpret=interpret,
             )(llr, metrics)
 
-        subtree_cache[id(node)] = call
+        subtree_cache[(id(node), w_in)] = call
         return call
 
+    def glue_take(x, perm):
+        """decoder._bl_take with ("rep", c) widening-perm support."""
+        if perm is None:
+            return x
+        if isinstance(perm, tuple):
+            return _rep0(x, perm[1])
+        return decoder._bl_take(x, perm)
+
+    def glue_compose(p_early, p_late):
+        """_compose0 for glue perms held in the [B, w] layout."""
+        if p_early is None:
+            return p_late
+        if p_late is None:
+            return p_early
+        if isinstance(p_early, tuple):
+            if isinstance(p_late, tuple):
+                return ("rep", p_early[1] * p_late[1])
+            return p_late // p_early[1]
+        from ..models.scl import _take_last
+
+        if isinstance(p_late, tuple):
+            return jnp.repeat(p_early, p_late[1], axis=-1)
+        return _take_last(p_early, p_late)
+
+    def widen_full(llr, metrics):
+        """Pad [w, S, B] state with inactive slots up to full L. Only for
+        the rare leaf-above-kernel_span at w < L: the _bl_leaf_* machinery
+        is full-width. Inactive candidates (metric ~ -1e30) lose every
+        extraction to live ones, so live slots and final results match the
+        widened reference path exactly."""
+        w = llr.shape[0]
+        if w == n_list:
+            return llr, metrics
+        pad = n_list - w
+        llr = jnp.concatenate(
+            [llr, jnp.zeros((pad,) + llr.shape[1:], llr.dtype)], axis=0
+        )
+        metrics = jnp.concatenate(
+            [metrics, jnp.full(metrics.shape[:1] + (pad,), _NEG,
+                               metrics.dtype)], axis=-1,
+        )
+        return llr, metrics
+
     def xla_node(node: CodeNode, llr, metrics):
-        """llr [L, span, B], metrics [B, L] — the decoder's batch_last
+        """llr [w, span, B], metrics [B, w] — the decoder's batch_last
         machinery for the wide levels; kernels below kernel_span."""
         if node.length <= kernel_span:
-            return subtree_call(node)(llr, metrics)
-        if node.kind == NodeKind.ENUM:
-            return decoder._bl_leaf_enum(node, llr, metrics)
+            return subtree_call(node, llr.shape[0])(llr, metrics)
         if node.kind != NodeKind.BRANCH:
+            llr, metrics = widen_full(llr, metrics)
+            if node.kind == NodeKind.ENUM:
+                return decoder._bl_leaf_enum(node, llr, metrics)
             return getattr(decoder, f"_bl_leaf_{node.kind.name.lower()}")(
                 llr, metrics
             )
@@ -370,18 +497,14 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             node.left, f_minsum(a, b), metrics
         )
         if p_left is not None:
-            llr_g = decoder._bl_take(llr, p_left)
+            llr_g = glue_take(llr, p_left)
             a, b = llr_g[:, :half], llr_g[:, half:]
         right_bits, p_right, metrics = xla_node(
             node.right, g_update(a, b, left_bits), metrics
         )
         if p_right is not None:
-            left_bits = decoder._bl_take(left_bits, p_right)
-            from ..models.scl import _take_last
-
-            perm = p_right if p_left is None else _take_last(p_left, p_right)
-        else:
-            perm = p_left
+            left_bits = glue_take(left_bits, p_right)
+        perm = glue_compose(p_left, p_right)
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
         return bits, perm, metrics
 
@@ -396,13 +519,23 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             raise ValueError(
                 f"batch {n_batch} not a multiple of tile {batch_tile}"
             )
-        llr_l = jnp.broadcast_to(
-            llr.T[None, :, :], (n_list, n_len, n_batch)
-        )
-        metrics = jnp.full((n_batch, n_list), _NEG, dtype=jnp.float32)
-        metrics = metrics.at[:, 0].set(0.0)
+        llr_l = llr.T[None, :, :]  # width 1: no [L, N, B] broadcast
+        metrics = jnp.zeros((n_batch, 1), dtype=jnp.float32)
         bits, _, metrics = xla_node(decoder.tree, llr_l, metrics)
-        codewords = jnp.signbit(bits).astype(jnp.uint8)  # [L, N, B]
+        codewords = jnp.signbit(bits).astype(jnp.uint8)  # [w, N, B]
+        width = metrics.shape[-1]
+        if width < n_list:
+            # degenerate tiny codes that never produce L candidates
+            pad = n_list - width
+            codewords = jnp.concatenate(
+                [codewords,
+                 jnp.zeros((pad,) + codewords.shape[1:], codewords.dtype)],
+                axis=0,
+            )
+            metrics = jnp.concatenate(
+                [metrics, jnp.full((n_batch, pad), _NEG, jnp.float32)],
+                axis=-1,
+            )
         return codewords, metrics
 
     def run(llr):
