@@ -216,6 +216,7 @@ class SCLDecoder:
     # keep the XLA backend
     backend = "xla"
     _pallas_fn = None
+    _pallas_span = None
 
     def __init__(
         self,
@@ -229,6 +230,8 @@ class SCLDecoder:
         max_enum_k: int = 4,
         layout: str = "batch_first",
         backend: str = "xla",
+        pallas_tile: int = 128,
+        pallas_span: Optional[int] = None,
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -289,6 +292,10 @@ class SCLDecoder:
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend
         self._pallas_fn = None
+        # experiment knobs (measured defaults): batch tile on the VPU lanes
+        # and the max span fused into one kernel (None = min(256, N))
+        self._PALLAS_TILE = int(pallas_tile)
+        self._pallas_span = pallas_span
         self.tree: CodeNode = build_tree(
             block_length, self.frozen,
             enum_span=enum_span, max_enum_k=max_enum_k,
@@ -832,10 +839,13 @@ class SCLDecoder:
         if self._pallas_fn is None:
             from ..ops.scl_kernel_bl import build_bl_hybrid_decode_paths
 
+            span = self._pallas_span
+            if span is None:
+                span = min(256, self.block_length)
             self._pallas_fn = build_bl_hybrid_decode_paths(
                 self,
                 batch_tile=self._PALLAS_TILE,
-                kernel_span=min(256, self.block_length),
+                kernel_span=span,
             )
         return self._pallas_fn
 

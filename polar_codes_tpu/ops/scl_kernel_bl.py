@@ -381,6 +381,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     n_len = decoder.block_length
     emitter = _BlEmitter(decoder)
     subtree_cache = {}
+    subtree_info = []  # (node, w_in, w_out, call) — profiling introspection
 
     def subtree_call(node: CodeNode, w_in: int):
         fn = subtree_cache.get((id(node), w_in))
@@ -434,6 +435,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             )(llr, metrics)
 
         subtree_cache[(id(node), w_in)] = call
+        subtree_info.append((node, w_in, w_out, call))
         return call
 
     def glue_take(x, perm):
@@ -543,4 +545,5 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         return codewords.transpose(2, 0, 1), metrics
 
     run.raw = run_raw
+    run.subtree_info = subtree_info
     return run
