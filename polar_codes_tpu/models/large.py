@@ -39,11 +39,20 @@ that is applied to the outer carry once per chunk, so per-bit forks touch
 only O(M)-sized recursion state — the scan-scale analogue of the
 reference's lazy-copy DataPool (datapool.txx lazyDuplicate).
 
+Pure-chunk fast path: chunks whose frozen mask is all-frozen, all-info,
+repetition, or single-parity-check (roughly half of all chunks at
+production shapes) dispatch via `lax.switch` to closed-form bodies — the
+Fast-SSC / SSCL leaf rules at chunk span — skipping the per-bit recursion
+entirely while the program stays bounded (each body is traced once).
+`fast_chunks=False` (and int8 mode, to preserve saturation value parity)
+keeps every chunk on the generic body.
+
 Capability parity: FastSscAvxFloat / SclAvxFloat semantics at block
 lengths the unrolled decoders cannot reach (decoding N=32768 SCL and
-N=131072 SC with seconds-scale compiles). Bitwise SCL here is *exact*
-(per-bit forks, no SSCL candidate restriction), so its BLER is at least
-as good as the specialized tree's.
+N=131072 SC with seconds-scale compiles). Mixed-chunk bitwise SCL is
+*exact* (per-bit forks, no SSCL candidate restriction); with fast_chunks
+the pure chunks use the same SSCL candidate rules as the reference's
+SclAvxFloat leaves.
 """
 
 from __future__ import annotations
@@ -55,7 +64,7 @@ import jax
 import jax.numpy as jnp
 
 from ..construction import info_indices
-from ..ops.butterfly import butterfly_transform
+from ..ops.butterfly import butterfly_transform, butterfly_transform_bipolar
 from ..ops.fg import (
     f_minsum,
     g_update,
@@ -87,6 +96,31 @@ def _frozen_mask_chunks(block_length, frozen, chunk):
     return mask.reshape(block_length // chunk, chunk)
 
 
+# chunk classes for the pure-chunk fast path (lax.switch branch index)
+_MIXED, _RATE0, _RATE1, _REP, _SPC = range(5)
+
+
+def _classify_chunks(mask_chunks):
+    """[T, M] frozen masks -> [T] int32 class ids. Typical constructions
+    leave ~half the chunks pure at production chunk sizes (e.g. N=131072
+    M=512 BB rate-1/2: 119 of 256 chunks are rate0/rate1/rep/spc), so
+    dispatching them to closed-form bodies skips about half of the
+    per-bit chunk recursion — the scan-scale analogue of the Fast-SSC
+    leaf shortcuts (fastssc_avx_float.cpp leaf specializations)."""
+    cls = np.full(len(mask_chunks), _MIXED, dtype=np.int32)
+    for i, m in enumerate(mask_chunks):
+        if m.all():
+            cls[i] = _RATE0
+        elif not m.any():
+            cls[i] = _RATE1
+        elif m[:-1].all() and not m[-1]:
+            cls[i] = _REP
+        elif m[0] and not m[1:].any() and m.size >= 4:
+            # span >= 4: the SSCL SPC rule expands the four weakest bits
+            cls[i] = _SPC
+    return cls
+
+
 class LargeSCDecoder:
     """Successive-cancellation decoder with an O(chunk + log N) program.
 
@@ -103,12 +137,20 @@ class LargeSCDecoder:
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
         chunk: int = 512,
+        fast_chunks: bool = True,
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
         _check_pow2(chunk, "chunk")
         self.block_length = block_length
         self.chunk = chunk
+        # fast_chunks: decode pure rate0/rate1/rep/spc chunks with the
+        # closed-form Fast-SSC rules (bit-identical to per-bit min-sum SC
+        # on tie-free inputs, Sarkis et al.) instead of the generic
+        # recursion. Disabled in int8 mode: the closed forms sum without
+        # the staged fi_adds_epi8 saturation, which would break the exact
+        # fip_char value parity this class guarantees.
+        self.fast_chunks = bool(fast_chunks)
         self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
         self.info_pos = info_indices(block_length, self.frozen)
         self.info_length = int(self.info_pos.size)
@@ -159,6 +201,54 @@ class LargeSCDecoder:
         u = jnp.concatenate([u_l, u_r], axis=-1)
         return x, u
 
+    # ---- pure-chunk closed forms (Fast-SSC leaf rules at chunk span) -------
+
+    def _chunk_rate0(self, llr, mask):
+        ones = jnp.ones_like(llr)
+        return ones, ones
+
+    def _chunk_rate1(self, llr, mask):
+        x = self._hard(llr)
+        return x, butterfly_transform_bipolar(x)
+
+    def _chunk_rep(self, llr, mask):
+        work = llr.astype(jnp.float32) if self._int8 else llr
+        u_last = self._hard(
+            jnp.sum(work, axis=-1, keepdims=True).astype(llr.dtype)
+        )
+        x = jnp.broadcast_to(u_last, llr.shape)
+        u = jnp.concatenate(
+            [jnp.ones_like(llr[..., :-1]), u_last], axis=-1
+        )
+        return x, u
+
+    def _chunk_spc(self, llr, mask):
+        hard = self._hard(llr)
+        parity_neg = jnp.prod(hard.astype(jnp.float32), axis=-1) < 0
+        weakest = jnp.argmin(jnp.abs(llr), axis=-1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, llr.shape, llr.ndim - 1)
+        flip = jnp.where(
+            (iota == weakest[..., None]) & parity_neg[..., None], -1.0, 1.0
+        ).astype(llr.dtype)
+        x = hard * flip
+        return x, butterfly_transform_bipolar(x)
+
+    def _chunk_switch(self, cls, llr, mask):
+        """Dispatch one chunk: pure classes take the closed form, mixed
+        chunks the generic mask-driven recursion."""
+        return jax.lax.switch(
+            cls,
+            [
+                lambda l, m: self._chunk_sc(l, m),
+                self._chunk_rate0,
+                self._chunk_rate1,
+                self._chunk_rep,
+                self._chunk_spc,
+            ],
+            llr,
+            mask,
+        )
+
     # ---- outer scan -------------------------------------------------------
 
     def _scan_decode(self, llr_flat):
@@ -182,9 +272,15 @@ class LargeSCDecoder:
             for s in range(1, n_outer + 1)
         )
 
+        classes = (
+            _classify_chunks(self._mask_chunks)
+            if self.fast_chunks and not self._int8
+            else np.full(n_chunks, _MIXED, np.int32)
+        )
+
         def step(carry, xs):
             llrs, bits = carry
-            t, mask = xs
+            t, mask, cls = xs
             # downward: predicated f/g refresh of every outer stage. Stage
             # s recomputes when t is a multiple of 2^(S-s); f for a left
             # child (even node index at that stage), g for a right child.
@@ -200,8 +296,8 @@ class LargeSCDecoder:
                 cur = jnp.where(need, val, llrs[s - 1])
                 new_llrs.append(cur)
                 prev = cur
-            # chunk decode (shared body, mask as data)
-            x_chunk, u_chunk = self._chunk_sc(prev, mask)
+            # chunk decode (shared bodies, mask + class as data)
+            x_chunk, u_chunk = self._chunk_switch(cls, prev, mask)
             # upward: store-left / climb-while-right partial-sum combines
             new_bits = list(bits)
             cur = x_chunk
@@ -216,7 +312,11 @@ class LargeSCDecoder:
                 climb = climb & is_right
             return (tuple(new_llrs), tuple(new_bits)), u_chunk
 
-        xs = (jnp.arange(n_chunks), jnp.asarray(self._mask_chunks))
+        xs = (
+            jnp.arange(n_chunks),
+            jnp.asarray(self._mask_chunks),
+            jnp.asarray(classes),
+        )
         _, u_chunks = jax.lax.scan(step, (init_llrs, init_bits), xs)
         # [T, B, M] -> [B, N] in natural leaf order
         return jnp.moveaxis(u_chunks, 0, -2).reshape(batch, n_len)
@@ -260,9 +360,15 @@ class LargeSCLDecoder(SCLDecoder):
 
     Inherits pruning, perm algebra, and CRC-aided extraction from
     SCLDecoder; replaces the unrolled specialized tree with the outer-scan
-    + shared-chunk schedule. Exact per-bit forks (2 candidates per info
-    bit, frozen bits pay the rate-0 penalty), i.e. textbook LLR-based SCL
-    (Balatsoukas-Stimming et al.) rather than the SSCL candidate subsets.
+    + shared-chunk schedule. Mixed chunks run exact per-bit forks (2
+    candidates per info bit, frozen bits pay the rate-0 penalty), i.e.
+    textbook LLR-based SCL (Balatsoukas-Stimming et al.). With
+    `fast_chunks` (default), pure rate0/rate1/rep/spc chunks instead take
+    the SSCL leaf rules the reference itself uses
+    (scl_avx_float.cpp Rate0/Rate1/Rep/SPC decoders) — one candidate
+    expansion per chunk instead of one prune per bit; ~half the chunks are
+    pure at production shapes. `fast_chunks=False` keeps the fully exact
+    per-bit decoder.
     """
 
     def __init__(
@@ -274,6 +380,7 @@ class LargeSCLDecoder(SCLDecoder):
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
         chunk: int = 256,
+        fast_chunks: bool = True,
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
@@ -298,6 +405,7 @@ class LargeSCLDecoder(SCLDecoder):
         self.tree = None
         self._enum_tables = {}
         self.chunk = chunk
+        self.fast_chunks = bool(fast_chunks)
         self._mask_chunks = _frozen_mask_chunks(
             block_length, self.frozen, chunk
         )
@@ -352,6 +460,42 @@ class LargeSCLDecoder(SCLDecoder):
         perm = _compose_perms(p_left, p_right)
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
         return bits, perm, metrics
+
+    def _chunk_switch_scl(self, cls, llr, mask, metrics):
+        """Dispatch one chunk: pure classes take the SSCL leaf rules
+        (SCLDecoder._leaf_*), mixed chunks the exact per-bit recursion.
+        Every branch returns a concrete [B, L] source perm so the switch
+        output is uniform (the mixed branch prunes at every bit, so its
+        perm is always concrete; rate0 contributes the identity)."""
+        n_list = self.list_size
+
+        def identity_perm(m):
+            return jnp.broadcast_to(
+                jnp.arange(n_list, dtype=jnp.int32), m.shape
+            )
+
+        def mixed(l, m, mets):
+            bits, perm, mets = self._chunk_scl(l, m, mets)
+            if perm is None:  # degenerate: chunk with no prune at all
+                perm = identity_perm(mets)
+            return bits, perm, mets
+
+        def rate0(l, m, mets):
+            bits, _, mets = self._leaf_rate0(l, mets)
+            return bits, identity_perm(mets), mets
+
+        def wrap(leaf):
+            def body(l, m, mets):
+                bits, perm, mets = leaf(l, mets)
+                return bits, perm.astype(jnp.int32), mets
+            return body
+
+        return jax.lax.switch(
+            cls,
+            [mixed, rate0, wrap(self._leaf_rate1), wrap(self._leaf_rep),
+             wrap(self._leaf_spc)],
+            llr, mask, metrics,
+        )
 
     # ---- outer scan -------------------------------------------------------
 
@@ -419,8 +563,14 @@ class LargeSCLDecoder(SCLDecoder):
             metrics=metrics0,
         )
 
+        classes = (
+            _classify_chunks(self._mask_chunks)
+            if self.fast_chunks and not self._int8
+            else np.full(n_chunks, _MIXED, np.int32)
+        )
+
         def step(carry, xs):
-            t, mask = xs
+            t, mask, cls = xs
             llrs, bits = carry["llrs"], carry["bits"]
             # downward predicated stage refresh (list axis rides along)
             prev = chan
@@ -436,17 +586,14 @@ class LargeSCLDecoder(SCLDecoder):
                 new_llrs.append(cur)
                 prev = cur
             # chunk decode; all within-chunk forks compose into one perm
-            x_chunk, perm, metrics = self._chunk_scl(
-                prev, mask, carry["metrics"]
+            x_chunk, perm, metrics = self._chunk_switch_scl(
+                cls, prev, mask, carry["metrics"]
             )
             # apply the chunk's composed perm ONCE to the outer carry —
             # the scan-scale analogue of lazy path duplication
-            if perm is not None:
-                new_llrs = [_take_paths(x, perm) for x in new_llrs]
-                bits = tuple(_take_paths(x, perm) for x in bits)
-                xhat = _take_paths(carry["xhat"], perm)
-            else:
-                xhat = carry["xhat"]
+            new_llrs = [_take_paths(x, perm) for x in new_llrs]
+            bits = tuple(_take_paths(x, perm) for x in bits)
+            xhat = _take_paths(carry["xhat"], perm)
             xhat = jax.lax.dynamic_update_slice(
                 xhat, x_chunk, (0, 0, t * m_len)
             )
@@ -470,7 +617,11 @@ class LargeSCLDecoder(SCLDecoder):
             )
             return out, None
 
-        xs = (jnp.arange(n_chunks), jnp.asarray(self._mask_chunks))
+        xs = (
+            jnp.arange(n_chunks),
+            jnp.asarray(self._mask_chunks),
+            jnp.asarray(classes),
+        )
         final, _ = jax.lax.scan(step, init, xs)
         codeword_bipolar = self._combine_chunks(final["xhat"])
         codewords = jnp.signbit(codeword_bipolar).astype(jnp.uint8)

@@ -28,15 +28,42 @@ def rng():
 
 class TestLargeSC:
     @pytest.mark.parametrize("chunk", [32, 128, 512])
-    def test_matches_fastssc(self, chunk, rng):
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_matches_fastssc(self, chunk, fast, rng):
         n_len, k_len = 512, 300
         frozen = frozen_bits(n_len, k_len, 0.0, "BB")
         llr = rng.normal(0, 2, (16, n_len)).astype(np.float32)
         ref = FastSSCDecoder(n_len, frozen, systematic=True)
-        dec = LargeSCDecoder(n_len, frozen, systematic=True, chunk=chunk)
+        dec = LargeSCDecoder(n_len, frozen, systematic=True, chunk=chunk,
+                             fast_chunks=fast)
         cw_ref = np.asarray(ref.decode_to_codeword(jnp.asarray(llr)))
         cw = np.asarray(dec.decode_to_codeword(jnp.asarray(llr)))
         np.testing.assert_array_equal(cw, cw_ref)
+
+    def test_fast_chunks_cover_all_classes(self, rng):
+        """A construction whose chunking produces every pure class, and
+        the fast path still equals Fast-SSC bit-for-bit (f32 min-sum)."""
+        from polar_codes_tpu.models.large import _classify_chunks
+
+        n_len, chunk = 256, 8
+        # hand-built mask: chunk 0 all-frozen, chunk 1 rep (frozen except
+        # last), chunk 2 spc (only first frozen), chunk 3 mixed, the rest
+        # all-info (rate1)
+        frozen = (
+            list(range(0, 8))        # chunk 0: rate0
+            + list(range(8, 15))     # chunk 1: rep
+            + [16]                   # chunk 2: spc
+            + [24, 26, 29]           # chunk 3: mixed
+        )
+        dec = LargeSCDecoder(n_len, frozen, systematic=True, chunk=chunk)
+        cls = _classify_chunks(dec._mask_chunks)
+        assert set(cls.tolist()) == {0, 1, 2, 3, 4}  # every class present
+        ref = FastSSCDecoder(n_len, frozen, systematic=True)
+        llr = rng.normal(0, 2, (32, n_len)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(dec.decode_to_codeword(jnp.asarray(llr))),
+            np.asarray(ref.decode_to_codeword(jnp.asarray(llr))),
+        )
 
     def test_int8_matches_scalar_saturating_sc(self, rng):
         """int8 mode = plain SC with fi_adds_epi8-saturating g (fip_char
@@ -122,7 +149,8 @@ class TestLargeSCL:
         mask[frozen] = True
         llr = rng.normal(0, 2, (4, n_len)).astype(np.float32)
         dec = LargeSCLDecoder(
-            n_len, frozen, list_size=list_size, systematic=False, chunk=chunk
+            n_len, frozen, list_size=list_size, systematic=False, chunk=chunk,
+            fast_chunks=False,  # the scalar anchor is exact per-bit SCL
         )
         cws, mets, _ = dec.decode_paths(jnp.asarray(llr))
         us = np.asarray(butterfly_transform(cws))
@@ -187,6 +215,44 @@ class TestLargeSCL:
         out, _, ok = dec.decode(jnp.asarray(llr))
         np.testing.assert_array_equal(np.asarray(out), sent)
         assert bool(np.all(np.asarray(ok)))
+
+    def test_fast_chunks_scl(self, rng):
+        """fast_chunks=True (SSCL rules on pure chunks) must round-trip
+        noiseless blocks and agree with the exact per-bit decoder on the
+        vast majority of noisy blocks (the SSCL candidate restriction is
+        the reference's own leaf rule; BLER-equivalent by construction)."""
+        n_len, k_len, list_size = 512, 256, 8
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        det = CRC16()
+        from polar_codes_tpu.models.encoder import PolarEncoder
+        from polar_codes_tpu.dsp import bpsk_modulate, add_awgn
+        from polar_codes_tpu.models.large import _classify_chunks, _MIXED
+
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        fast = LargeSCLDecoder(n_len, frozen, list_size=list_size,
+                               systematic=True, detector=det, chunk=32)
+        exact = LargeSCLDecoder(n_len, frozen, list_size=list_size,
+                                systematic=True, detector=det, chunk=32,
+                                fast_chunks=False)
+        # the shape actually exercises pure chunks
+        assert (_classify_chunks(fast._mask_chunks) != _MIXED).sum() >= 4
+        info = rng.integers(0, 2, (48, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        code = np.asarray(enc.encode(jnp.asarray(info)))
+        clean = jnp.asarray(((1.0 - 2.0 * code) * 8.0).astype(np.float32))
+        out, _, ok = fast.decode(clean)
+        np.testing.assert_array_equal(np.asarray(out), sent)
+        assert bool(np.all(np.asarray(ok)))
+        esn0 = 10.0 ** 0.25 * k_len / n_len
+        llr = add_awgn(jax.random.PRNGKey(3), bpsk_modulate(jnp.asarray(code)),
+                       esn0_linear=esn0)
+        out_f, _, ok_f = fast.decode(llr)
+        out_e, _, ok_e = exact.decode(llr)
+        err_f = np.any(np.asarray(out_f) != sent, axis=1).sum()
+        err_e = np.any(np.asarray(out_e) != sent, axis=1).sum()
+        assert err_f <= err_e + 2  # BLER-equivalent within small-sample slop
+        agree = np.all(np.asarray(out_f) == np.asarray(out_e), axis=1).mean()
+        assert agree >= 0.85
 
     def test_int8_mode_runs(self, rng):
         n_len, k_len = 256, 128
