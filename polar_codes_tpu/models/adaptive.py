@@ -44,6 +44,7 @@ class AdaptiveDecoder:
         detector: Optional[Detector] = None,
         fast_dtype=jnp.float32,
         list_schedule: Optional[Sequence[int]] = None,
+        backend: str = "xla",
     ):
         # the adaptive scheme is meaningless without an error detector;
         # the reference attaches CRC32 by default (decoder.cpp makeDecoder)
@@ -67,6 +68,9 @@ class AdaptiveDecoder:
         if list_schedule is None:
             list_schedule = (list_size,) if list_size > 1 else ()
         self.list_schedule = tuple(int(l) for l in list_schedule)
+        # backend="pallas" routes every SCL stage through the fused VMEM
+        # subtree kernels (ops/scl_kernel_bl.py); buckets are padded to the
+        # 128-lane tile inside the decoder, so small rerun buckets work
         self.stages = [
             SCLDecoder(
                 block_length,
@@ -74,6 +78,7 @@ class AdaptiveDecoder:
                 list_size=l,
                 systematic=systematic,
                 detector=self.detector,
+                backend=backend,
             )
             for l in self.list_schedule
         ]

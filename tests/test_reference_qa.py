@@ -39,10 +39,20 @@ def test_reference_qa_suite(suite):
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO_ROOT, REFERENCE_PY, env.get("PYTHONPATH", "")]
     )
-    # the suites only need CPU; keep them off the (flaky, tunneled) TPU
+    # The suites only need CPU, and MUST be kept off the tunneled TPU: the
+    # JAX_PLATFORMS env var is consumed before user code runs on this image
+    # (sitecustomize pre-registers the axon backend), so pin the platform
+    # with jax.config.update as the first user statement — otherwise a down
+    # tunnel hangs the child forever (observed: 16 min stuck qa_encoder).
     env["JAX_PLATFORMS"] = "cpu"
+    path = os.path.join(REFERENCE_PY, suite)
+    wrapper = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys, runpy; sys.argv = [sys.argv[1]]; "
+        "runpy.run_path(sys.argv[0], run_name='__main__')"
+    )
     proc = subprocess.run(
-        [sys.executable, os.path.join(REFERENCE_PY, suite)],
+        [sys.executable, "-c", wrapper, path],
         env=env,
         cwd="/tmp",
         capture_output=True,
