@@ -285,7 +285,8 @@ class SCLDecoder:
         self.layout = layout
         # backend="pallas": fused VMEM-resident subtree kernels
         # (ops/scl_kernel_bl.py) — ~1.45x the XLA path at N=1024 L=8 on
-        # v5e (0.62 vs 0.90 ms/1024 blocks). float32 + batch_first only;
+        # v5e (0.62 vs 0.90 ms/1024 blocks). float32/bfloat16 + batch_first
+        # only (bf16 packs the kernel state two-per-vreg-word);
         # falls back to XLA otherwise. Same candidate sets and tie order;
         # BLER statistically identical (A/B over 8192 blocks @1.5 dB).
         if backend not in ("xla", "pallas"):
@@ -846,6 +847,7 @@ class SCLDecoder:
                 self,
                 batch_tile=self._PALLAS_TILE,
                 kernel_span=span,
+                state_dtype=self.dtype,  # f32 or bf16 (packed vreg tiles)
             )
         return self._pallas_fn
 
@@ -919,7 +921,7 @@ class SCLDecoder:
         if (
             self.backend == "pallas"
             and self.layout == "batch_first"
-            and self.dtype == jnp.dtype(jnp.float32)
+            and not self._int8  # f32 or bf16 state
         ):
             return self._decode_paths_pallas(llr, lead)
         if self.layout == "batch_last":
@@ -969,7 +971,7 @@ class SCLDecoder:
             and self.systematic
             and self._sc is None
             and self.layout == "batch_first"
-            and self.dtype == jnp.dtype(jnp.float32)
+            and not self._int8  # f32 or bf16 state
         ):
             return self._decode_pallas_fast(llr)
         codewords, metrics, active = self.decode_paths(llr)

@@ -114,11 +114,19 @@ def _compose0(p_early, p_late):
 
 
 class _BlEmitter:
-    """Emits the kernel body for one subtree; state layout [L, S, B]."""
+    """Emits the kernel body for one subtree; state layout [L, S, B].
 
-    def __init__(self, decoder):
+    state_dtype=bfloat16 keeps LLR/bit state packed two-per-word in the
+    (16, 128) vreg tiles — one VPU instruction then processes twice the
+    elements of the dominant select-chain/f/g passes. Path metrics and
+    candidate deltas stay float32 (sums are cast up before accumulation),
+    so pruning order differs from f32 only by bf16 rounding of the state
+    values themselves."""
+
+    def __init__(self, decoder, state_dtype=jnp.float32):
         self.dec = decoder
         self.n_list = decoder.list_size
+        self.sdt = jnp.dtype(state_dtype)
 
     # -- pruning -------------------------------------------------------------
 
@@ -163,29 +171,38 @@ class _BlEmitter:
 
     @staticmethod
     def _hard(llr):
-        return jnp.where(jnp.signbit(llr), -1.0, 1.0)
+        return jnp.where(jnp.signbit(llr), -1.0, 1.0).astype(llr.dtype)
+
+    def _flip(self, mask, like):
+        """Bipolar flip factors in the state dtype."""
+        one = jnp.asarray(1.0, like.dtype)
+        return jnp.where(mask, -one, one)
 
     @staticmethod
     def _min0sum(llr):
-        return jnp.sum(jnp.minimum(llr, 0.0), axis=1)  # [L, B]
+        # metric-domain sums accumulate in f32 regardless of state dtype
+        return jnp.sum(
+            jnp.minimum(llr, 0.0).astype(jnp.float32), axis=1
+        )  # [L, B]
 
     @staticmethod
     def _max0sum(llr):
-        return jnp.sum(jnp.maximum(llr, 0.0), axis=1)
+        return jnp.sum(jnp.maximum(llr, 0.0).astype(jnp.float32), axis=1)
 
     @staticmethod
     def _weakest(mag, count):
-        """count smallest + first-indices along the span of [L, S, B]."""
+        """count smallest (as f32) + first-indices along [L, S, B] span."""
         span = mag.shape[1]
         iota = _iota(mag.shape, 1)
+        big = jnp.asarray(jnp.inf, mag.dtype)
         cur = mag
         ms, is_ = [], []
         for _ in range(count):
             m = jnp.min(cur, axis=1)  # [L, B]
             i = jnp.min(jnp.where(cur == m[:, None, :], iota, span), axis=1)
-            ms.append(m)
+            ms.append(m.astype(jnp.float32))
             is_.append(i)
-            cur = jnp.where(iota == i[:, None, :], jnp.inf, cur)
+            cur = jnp.where(iota == i[:, None, :], big, cur)
         return ms, is_
 
     # -- leaves --------------------------------------------------------------
@@ -198,12 +215,11 @@ class _BlEmitter:
         hard = self._hard(llr)
         mag = jnp.abs(llr)
         if span == 1:
-            m0 = mag[:, 0, :]  # [L, B]
+            m0 = mag[:, 0, :].astype(jnp.float32)  # [L, B]
             deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=0)
             new_metrics, src, cand = self._prune(metrics, deltas)
-            bits = _take_state(hard, src) * jnp.where(
-                (cand == 1)[:, None, :], -1.0, 1.0
-            )
+            hard_g = _take_state(hard, src)
+            bits = hard_g * self._flip((cand == 1)[:, None, :], hard_g)
             return bits, src, new_metrics
         (m0, m1), (i0, i1) = self._weakest(mag, 2)
         zero = jnp.zeros_like(m0)
@@ -219,7 +235,7 @@ class _BlEmitter:
         flip1 = ((cand == 2) | (cand == 3))[:, None, :] & (
             pos == i1g[:, None, :]
         )
-        bits = hard_g * jnp.where(flip0 | flip1, -1.0, 1.0)
+        bits = hard_g * self._flip(flip0 | flip1, hard_g)
         return bits, src, new_metrics
 
     def leaf_rep(self, llr, metrics):
@@ -228,7 +244,7 @@ class _BlEmitter:
         deltas = jnp.stack([d_zero, d_one], axis=0)
         new_metrics, src, cand = self._prune(metrics, deltas)
         bits = jnp.broadcast_to(
-            jnp.where((cand != 0)[:, None, :], -1.0, 1.0),
+            self._flip((cand != 0)[:, None, :], llr),
             cand.shape[:1] + llr.shape[1:],
         )
         return bits, src, new_metrics
@@ -274,7 +290,7 @@ class _BlEmitter:
             flip_mask = flip_mask | (
                 fj[:, None, :] & (pos == ij[:, None, :])
             )
-        bits = hard_g * jnp.where(flip_mask, -1.0, 1.0)
+        bits = hard_g * self._flip(flip_mask, hard_g)
         return bits, src, new_metrics
 
     def leaf_enum(self, node, llr, metrics):
@@ -283,8 +299,8 @@ class _BlEmitter:
         pure VPU adds, no matmul, no table ref."""
         table = self.dec._enum_table(node)  # [C, S] numpy +-1 float32
         n_cand, span = table.shape
-        sum_abs = jnp.sum(jnp.abs(llr), axis=1)  # [L, B]
-        slices = [llr[:, s, :] for s in range(span)]
+        sum_abs = jnp.sum(jnp.abs(llr).astype(jnp.float32), axis=1)  # [L, B]
+        slices = [llr[:, s, :].astype(jnp.float32) for s in range(span)]
         deltas = []
         for c in range(n_cand):
             score = sum(
@@ -298,7 +314,7 @@ class _BlEmitter:
         # decision bits from static +-1 patterns: Pallas kernels cannot
         # capture array constants, so the pattern is rebuilt from iota
         # comparisons against the (static) negative positions
-        bits = jnp.ones(cand.shape[:1] + llr.shape[1:], jnp.float32)
+        bits = jnp.ones(cand.shape[:1] + llr.shape[1:], self.sdt)
         pos = _iota(bits.shape, 1)
         for c in range(n_cand):
             neg_positions = [s for s in range(span) if table[c, s] < 0]
@@ -365,7 +381,8 @@ def _static_width(decoder, node: CodeNode, w: int) -> int:
 
 def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  kernel_span: int = 256,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 state_dtype=jnp.float32):
     """Pallas [w, S, B] subtree kernels + XLA glue above.
 
     Progressive list widening runs end-to-end: the decode starts at width 1
@@ -379,7 +396,8 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     B must be a multiple of batch_tile."""
     n_list = decoder.list_size
     n_len = decoder.block_length
-    emitter = _BlEmitter(decoder)
+    state_dtype = jnp.dtype(state_dtype)
+    emitter = _BlEmitter(decoder, state_dtype)
     subtree_cache = {}
     subtree_info = []  # (node, w_in, w_out, call) — profiling introspection
 
@@ -427,7 +445,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((w_out, span, n_batch), jnp.float32),
+                    jax.ShapeDtypeStruct((w_out, span, n_batch), state_dtype),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.int32),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.float32),
                 ],
@@ -487,12 +505,19 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         if node.length <= kernel_span:
             return subtree_call(node, llr.shape[0])(llr, metrics)
         if node.kind != NodeKind.BRANCH:
+            # rare leaf above kernel_span: the decoder's full-width _bl_leaf
+            # machinery is float32 — cast around it
             llr, metrics = widen_full(llr, metrics)
+            llr = llr.astype(jnp.float32)
             if node.kind == NodeKind.ENUM:
-                return decoder._bl_leaf_enum(node, llr, metrics)
-            return getattr(decoder, f"_bl_leaf_{node.kind.name.lower()}")(
-                llr, metrics
-            )
+                bits, perm, metrics = decoder._bl_leaf_enum(
+                    node, llr, metrics
+                )
+            else:
+                bits, perm, metrics = getattr(
+                    decoder, f"_bl_leaf_{node.kind.name.lower()}"
+                )(llr, metrics)
+            return bits.astype(state_dtype), perm, metrics
         half = node.length // 2
         a, b = llr[:, :half], llr[:, half:]
         left_bits, p_left, metrics = xla_node(
@@ -515,7 +540,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         layout, NO relayout — and metrics [B, L]). Callers that can consume
         the [L, N, B] layout (CRC-aided selection) avoid the ~0.1 ms
         [B, L, N] transpose of all L paths."""
-        llr = llr.astype(jnp.float32)
+        llr = llr.astype(state_dtype)
         n_batch = llr.shape[0]
         if n_batch % batch_tile:
             raise ValueError(

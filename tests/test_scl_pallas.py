@@ -105,6 +105,30 @@ class TestBatchOnLanesKernel:
         )
         np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
 
+    def test_bf16_state_matches_xla_bf16(self, rng):
+        """state_dtype=bfloat16 packs kernel state two-per-vreg-word; in
+        interpret mode it must match the XLA bf16 batch_first path
+        bit-for-bit (metrics accumulate in f32 in both)."""
+        from polar_codes_tpu.ops.scl_kernel_bl import (
+            build_bl_hybrid_decode_paths,
+        )
+
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        dec = SCLDecoder(n_len, frozen, list_size=8, detector=CRC16(),
+                         dtype=jnp.bfloat16)
+        fn = build_bl_hybrid_decode_paths(
+            dec, batch_tile=16, kernel_span=64, interpret=True,
+            state_dtype=jnp.bfloat16,
+        )
+        llr = jnp.asarray(rng.normal(0, 2, (32, n_len)), jnp.float32)
+        cw_ref, m_ref, _ = dec.decode_paths(llr.astype(jnp.bfloat16))
+        cw, m = fn(llr)
+        np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
+        np.testing.assert_allclose(
+            np.asarray(m), np.asarray(m_ref), rtol=1e-4, atol=1e-4
+        )
+
     def test_backend_pallas_pads_odd_batches(self, rng):
         # the decoder-level backend wires padding/reshape around the tile;
         # exercised in interpret mode by monkeypatching the builder flag
