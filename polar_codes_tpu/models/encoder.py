@@ -38,6 +38,7 @@ class PolarEncoder:
         frozen_bit_positions: Sequence[int],
         systematic: bool = True,
         detector: Optional[Detector] = None,
+        backend: str = "xla",
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -50,6 +51,14 @@ class PolarEncoder:
         self.info_length = int(self.info_pos.size)
         self.systematic = systematic
         self.detector = detector if detector is not None else Dummy()
+        # backend="pallas": one VMEM-resident kernel runs ALL butterfly
+        # stages of both systematic passes (ops/butterfly_kernel.py) — the
+        # XLA path round-trips [B, N] f32 through HBM every stage
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+        self._pallas_fn = None
+        self._PALLAS_TILE = 128
 
     # -- info <-> u-domain plumbing ----------------------------------------
 
@@ -87,6 +96,8 @@ class PolarEncoder:
             )
         if generate_crc and self.detector.tail_bits:
             x = self.detector.generate(x)
+        if self.backend == "pallas":
+            return self._encode_pallas(x)
         # bipolar float32 internally: XOR becomes multiply on the VPU's
         # native dtype — ~3x faster than uint8 stages on TPU, bit-identical
         frozen_m = jnp.asarray(self.frozen_mask)
@@ -99,6 +110,30 @@ class PolarEncoder:
             code = jnp.where(frozen_m, 1.0, code)  # re-freeze: bit 0 = +1
             code = butterfly_transform_bipolar(code)
         return jnp.signbit(code).astype(jnp.uint8)
+
+    def _encode_pallas(self, x):
+        """Fused all-stage VMEM encode; pads the batch to the lane tile."""
+        if self._pallas_fn is None:
+            from ..ops.butterfly_kernel import build_encode_kernel
+
+            self._pallas_fn = build_encode_kernel(
+                self.block_length, self.frozen_mask,
+                systematic=self.systematic,
+                batch_tile=self._PALLAS_TILE,
+            )
+        lead = x.shape[:-1]
+        u = self.inject(x.astype(jnp.uint8))
+        flat = u.reshape((-1, self.block_length))
+        n_batch = flat.shape[0]
+        pad = (-n_batch) % self._PALLAS_TILE
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, self.block_length), flat.dtype)]
+            )
+        code = self._pallas_fn(flat)
+        if pad:
+            code = code[:n_batch]
+        return code.reshape(lead + (self.block_length,))
 
     def transform(self, bits):
         """Raw N-stage butterfly (involution); exposed for decoders that

@@ -112,6 +112,36 @@ class TestPolarEncoder:
             enc.encode(jnp.zeros((2, 31), dtype=jnp.uint8))
 
 
+class TestPallasEncodeKernel:
+    """Fused all-stage VMEM butterfly (ops/butterfly_kernel.py):
+    interpret-mode bit-exactness against the XLA encoder, systematic and
+    not, including the odd-batch padding path."""
+
+    @pytest.mark.parametrize("n_len,k_len,systematic",
+                             [(256, 128, True), (256, 128, False),
+                              (64, 40, True)])
+    def test_interpret_matches_xla(self, n_len, k_len, systematic, rng):
+        from polar_codes_tpu.ops.butterfly_kernel import build_encode_kernel
+        from polar_codes_tpu.models.detectors import CRC16
+
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        det = CRC16()
+        ref = PolarEncoder(n_len, frozen, systematic=systematic,
+                           detector=det)
+        pal = PolarEncoder(n_len, frozen, systematic=systematic,
+                           detector=det, backend="pallas")
+        pal._PALLAS_TILE = 16
+        pal._pallas_fn = build_encode_kernel(
+            n_len, pal.frozen_mask, systematic=systematic, batch_tile=16,
+            interpret=True,
+        )
+        info = rng.integers(0, 2, (37, k_len)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(pal.encode(jnp.asarray(info))),
+            np.asarray(ref.encode(jnp.asarray(info))),
+        )
+
+
 class TestPackBits:
     def test_roundtrip_matches_numpy(self, rng):
         bits = rng.integers(0, 2, (3, 64)).astype(np.uint8)
