@@ -52,6 +52,7 @@ class FastSSCDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
+        backend: str = "xla",
     ):
         self.block_length = block_length
         self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
@@ -64,6 +65,13 @@ class FastSSCDecoder:
         self._encoder = PolarEncoder(
             block_length, self.frozen, systematic=False, detector=Dummy()
         )
+        # backend="pallas": VMEM-resident subtree kernels
+        # (ops/fastssc_kernel.py); float32/bfloat16 only, int8 falls back
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+        self._pallas_fn = None
+        self._PALLAS_TILE = 128
 
     # ---- per-dtype arithmetic ------------------------------------------------
 
@@ -158,6 +166,21 @@ class FastSSCDecoder:
     def decode_to_codeword(self, llr):
         """[..., N] channel LLRs -> [..., N] codeword bits {0,1}."""
         llr = jnp.asarray(llr, dtype=self.dtype)
+        if self.backend == "pallas" and self.dtype != jnp.dtype(jnp.int8):
+            if self._pallas_fn is None:
+                from ..ops.fastssc_kernel import build_fs_hybrid_decode
+
+                self._pallas_fn = build_fs_hybrid_decode(
+                    self,
+                    batch_tile=self._PALLAS_TILE,
+                    kernel_span=min(1024, self.block_length),
+                    state_dtype=self.dtype,
+                )
+            lead = llr.shape[:-1]
+            flat = llr.reshape((-1, self.block_length))
+            return self._pallas_fn(flat).reshape(
+                lead + (self.block_length,)
+            )
         bipolar = self._decode_node(self.tree, llr)
         return self._bits01(bipolar)
 

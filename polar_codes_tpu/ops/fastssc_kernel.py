@@ -1,0 +1,157 @@
+"""Pallas TPU kernel for the Fast-SSC (L=1) decoder.
+
+Capability target: FastSscAvxFloat::decode
+(/root/reference/src/polarcode/decoding/fastssc_avx_float.cpp) —
+functionally covered by models/fastssc.py; this kernel is a performance
+vehicle. The XLA tree decode round-trips [B, span] state through HBM at
+every tree level; here an entire span<=kernel_span subtree (f/g recursion
+plus the Rate0/Rate1/Rep/SPC leaf shortcuts) runs VMEM-resident per
+128-lane batch tile, in the same [span, B] batch-on-lanes layout as
+ops/scl_kernel_bl.py. Levels above kernel_span run as plain XLA glue.
+
+state_dtype=bfloat16 packs the LLR/bit state two-per-word in (16, 128)
+vreg tiles (Rep sums still accumulate in f32 so the decision threshold
+keeps full precision).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fg import f_minsum, g_update
+from ..models.tree import CodeNode, NodeKind
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _hard(llr):
+    """Bipolar sign-bit decision (-0.0 -> -1), in the state dtype."""
+    return jnp.where(jnp.signbit(llr), -1.0, 1.0).astype(llr.dtype)
+
+
+def _leaf(node: CodeNode, llr):
+    """Fast-SSC leaf shortcuts on [span, B] state."""
+    kind = node.kind
+    if kind == NodeKind.RATE0:
+        return jnp.ones_like(llr)
+    if kind == NodeKind.RATE1:
+        return _hard(llr)
+    if kind == NodeKind.REP:
+        s = jnp.sum(llr.astype(jnp.float32), axis=0, keepdims=True)
+        return jnp.broadcast_to(_hard(s).astype(llr.dtype), llr.shape)
+    # SPC: hard decisions, flip the weakest magnitude if parity is odd
+    hard = _hard(llr)
+    mag = jnp.abs(llr)
+    neg = jnp.sum(jnp.where(jnp.signbit(llr), 1, 0), axis=0)  # [B]
+    parity_odd = neg % 2 == 1
+    m = jnp.min(mag, axis=0)  # [B]
+    iota = _iota(mag.shape, 0)
+    span = mag.shape[0]
+    weakest = jnp.min(jnp.where(mag == m[None, :], iota, span), axis=0)
+    flip = (iota == weakest[None, :]) & parity_odd[None, :]
+    return hard * jnp.where(flip, -1.0, 1.0).astype(hard.dtype)
+
+
+def _emit(node: CodeNode, llr):
+    """Recursive subtree body; llr [span, B] bipolar-LLR floats."""
+    if node.kind != NodeKind.BRANCH:
+        return _leaf(node, llr)
+    half = node.length // 2
+    a, b = llr[:half], llr[half:]
+    if node.left.kind == NodeKind.RATE0:
+        # ZeroR shortcut: left bits all +1 -> g degenerates to b + a
+        right = _emit(node.right, b + a)
+        return jnp.concatenate([right, right], axis=0)
+    left = _emit(node.left, f_minsum(a, b))
+    right = _emit(node.right, g_update(a, b, left))
+    return jnp.concatenate([left * right, right], axis=0)
+
+
+def build_fs_hybrid_decode(decoder, batch_tile: int = 128,
+                           kernel_span: int = 1024,
+                           interpret: bool = False,
+                           state_dtype=jnp.float32):
+    """Returns fn: llr [B, N] float -> codeword bits uint8 [B, N].
+
+    Matches models/fastssc.py FastSSCDecoder.decode_to_codeword (float32
+    semantics) bit-for-bit on tie-free inputs; subtree kernels below
+    kernel_span, XLA recursion above."""
+    n_len = decoder.block_length
+    state_dtype = jnp.dtype(state_dtype)
+    subtree_cache = {}
+
+    def subtree_call(node: CodeNode):
+        fn = subtree_cache.get(id(node))
+        if fn is not None:
+            return fn
+        span = node.length
+
+        def kernel(llr_ref, out_ref):
+            out_ref[...] = jnp.signbit(
+                _emit(node, llr_ref[...])
+            ).astype(jnp.uint8)
+
+        def kernel_bits(llr_ref, out_ref):
+            out_ref[...] = _emit(node, llr_ref[...])
+
+        is_root = span == n_len
+
+        def call(llr):
+            n_batch = llr.shape[-1]
+            grid = (n_batch // batch_tile,)
+            return pl.pallas_call(
+                kernel if is_root else kernel_bits,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((span, batch_tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((span, batch_tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(
+                    (span, n_batch),
+                    jnp.uint8 if is_root else state_dtype,
+                ),
+                interpret=interpret,
+            )(llr)
+
+        subtree_cache[id(node)] = call
+        return call
+
+    def xla_node(node: CodeNode, llr):
+        """[span, B] levels above kernel_span (XLA); kernels below."""
+        if node.length <= kernel_span:
+            return subtree_call(node)(llr)
+        if node.kind != NodeKind.BRANCH:
+            return _leaf(node, llr)
+        half = node.length // 2
+        a, b = llr[:half], llr[half:]
+        if node.left.kind == NodeKind.RATE0:
+            right = xla_node(node.right, b + a)
+            return jnp.concatenate([right, right], axis=0)
+        left = xla_node(node.left, f_minsum(a, b))
+        right = xla_node(node.right, g_update(a, b, left))
+        return jnp.concatenate([left * right, right], axis=0)
+
+    def run(llr):
+        llr = llr.astype(state_dtype)
+        n_batch = llr.shape[0]
+        pad = (-n_batch) % batch_tile
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, n_len), llr.dtype)]
+            )
+        x = xla_node(decoder.tree, llr.T)
+        if x.dtype != jnp.uint8:  # root above kernel_span: sign in XLA
+            x = jnp.signbit(x).astype(jnp.uint8)
+        out = x.T
+        if pad:
+            out = out[:n_batch]
+        return out
+
+    return run

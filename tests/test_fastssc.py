@@ -170,3 +170,28 @@ class TestDsp:
         out = np.asarray(apply_rayleigh(key, sig, esn0_db=40.0))
         # fade magnitude: E[|h|] = sqrt(pi/2) for unit-variance components
         assert abs(np.mean(out) - np.sqrt(np.pi / 2)) < 0.02
+
+
+class TestPallasFastSSCKernel:
+    """VMEM-resident Fast-SSC subtree kernels (ops/fastssc_kernel.py):
+    interpret-mode bit-exactness vs the XLA tree decode, single-kernel and
+    hybrid (glue above kernel_span), odd batches included."""
+
+    @pytest.mark.parametrize("n_len,k_len,span",
+                             [(256, 128, 256), (512, 300, 64)])
+    def test_interpret_matches_xla(self, n_len, k_len, span, rng):
+        from polar_codes_tpu.ops.fastssc_kernel import build_fs_hybrid_decode
+
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        ref = FastSSCDecoder(n_len, frozen, systematic=True)
+        dec = FastSSCDecoder(n_len, frozen, systematic=True,
+                             backend="pallas")
+        dec._PALLAS_TILE = 16
+        dec._pallas_fn = build_fs_hybrid_decode(
+            dec, batch_tile=16, kernel_span=span, interpret=True
+        )
+        llr = jnp.asarray(rng.normal(0, 2, (37, n_len)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(dec.decode_to_codeword(llr)),
+            np.asarray(ref.decode_to_codeword(llr)),
+        )
