@@ -315,7 +315,7 @@ class SCLDecoder:
 
             self._sc = FastSSCDecoder(
                 block_length, self.frozen, systematic=True,
-                dtype=self.dtype,
+                dtype=self.dtype, backend=backend,
             )
 
     # ---- dtype-generic arithmetic ----------------------------------------

@@ -302,7 +302,8 @@ class PolarDecoder:
                 )
         elif lst == 1:
             dtype = jnp.float32 if self._flag == 1 else jnp.int8
-            self._dec = FastSSCDecoder(n, frozen, dtype=dtype, **kw)
+            self._dec = FastSSCDecoder(n, frozen, dtype=dtype,
+                                       backend=self._backend, **kw)
         elif self._flag == 3:
             self._dec = ScanDecoder(n, frozen, iterations=lst, **kw)
         elif self._flag == 2 and self._detector.tail_bits:
