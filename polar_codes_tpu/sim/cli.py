@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "rayleigh.cpp, exposed here as a simtype-independent "
                         "option)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+                   help="decode/encode compute backend: pallas = fused "
+                        "VMEM kernels (TPU; extension beyond pcsim)")
     p.add_argument("--checkpoint", default="",
                    help="npz path for chunk-level checkpoint/resume")
     return p
@@ -127,19 +130,21 @@ def make_coders(n_len, k_len, args, detector):
         dec = DepthFirstDecoder(n_len, frozen, systematic=systematic,
                                 detector=detector, trial_limit=list_size)
         return enc, dec
+    backend = getattr(args, "backend", "xla")
     if list_size <= 1:
         dtype = jnp.int8 if args.precision == 8 else jnp.float32
         dec = FastSSCDecoder(n_len, frozen, systematic=systematic,
-                             detector=detector, dtype=dtype)
+                             detector=detector, dtype=dtype,
+                             backend=backend)
     elif args.precision == 832 and detector.tail_bits:
         dec = AdaptiveDecoder(n_len, frozen, list_size=list_size,
                               systematic=systematic, detector=detector,
-                              fast_dtype=jnp.int8)
+                              fast_dtype=jnp.int8, backend=backend)
     else:
         dtype = jnp.int8 if args.precision == 8 else jnp.float32
         dec = SCLDecoder(n_len, frozen, list_size=list_size,
                          systematic=systematic, detector=detector,
-                         dtype=dtype)
+                         dtype=dtype, backend=backend)
     return enc, dec
 
 
