@@ -96,7 +96,10 @@ class PolarEncoder:
             )
         if generate_crc and self.detector.tail_bits:
             x = self.detector.generate(x)
-        if self.backend == "pallas":
+        # VMEM guard: the kernel holds an [N, 128] f32 block plus live
+        # temporaries for all stages; beyond N=8192 (~4 MB x2-3 live) it
+        # would not fit reliably, so large blocks keep the XLA path
+        if self.backend == "pallas" and self.block_length <= 8192:
             return self._encode_pallas(x)
         # bipolar float32 internally: XOR becomes multiply on the VPU's
         # native dtype — ~3x faster than uint8 stages on TPU, bit-identical

@@ -202,6 +202,12 @@ class LargeSCDecoder:
         return x, u
 
     # ---- pure-chunk closed forms (Fast-SSC leaf rules at chunk span) -------
+    # These mirror FastSSCDecoder._decode_rate0/.../_decode_spc
+    # (fastssc.py:98-129, float path) plus the u-domain output, which for
+    # every pure class equals butterfly_transform_bipolar(x) — rate0/rep
+    # just have cheaper closed u forms. A tie-breaking or dtype change in
+    # either copy must be applied to both. int8 never reaches these
+    # (fast_chunks is gated off to preserve saturation value parity).
 
     def _chunk_rate0(self, llr, mask):
         ones = jnp.ones_like(llr)
@@ -212,10 +218,7 @@ class LargeSCDecoder:
         return x, butterfly_transform_bipolar(x)
 
     def _chunk_rep(self, llr, mask):
-        work = llr.astype(jnp.float32) if self._int8 else llr
-        u_last = self._hard(
-            jnp.sum(work, axis=-1, keepdims=True).astype(llr.dtype)
-        )
+        u_last = self._hard(jnp.sum(llr, axis=-1, keepdims=True))
         x = jnp.broadcast_to(u_last, llr.shape)
         u = jnp.concatenate(
             [jnp.ones_like(llr[..., :-1]), u_last], axis=-1

@@ -154,9 +154,10 @@ def run_row(row, batch_bits, out):
             # the scan decoders execute O(N) tiny sequential ops and are
             # dispatch-bound, not bandwidth-bound (r2 grid: hbm_util 0.02
             # at batch 16) — batch is nearly free throughput, so give the
-            # SC rows 4x the bit budget (still a <0.3 s timed window)
+            # SC rows 2x the bit budget (keeps the timed window <=0.2 s,
+            # the worker-crash bound from CLAUDE.md)
             if kind == "sc_scan":
-                batch = min(max(4 * batch_bits // n_len, 16), 512)
+                batch = min(max(2 * batch_bits // n_len, 16), 256)
                 dec = LargeSCDecoder(n_len, frozen, systematic=True,
                                      dtype=dtype)
             else:

@@ -114,7 +114,9 @@ def make_coders(n_len, k_len, args, detector):
 
     frozen = frozen_bits(n_len, k_len, args.design_snr, args.construction)
     systematic = not args.non_systematic
-    enc = PolarEncoder(n_len, frozen, systematic=systematic, detector=detector)
+    backend = getattr(args, "backend", "xla")
+    enc = PolarEncoder(n_len, frozen, systematic=systematic,
+                       detector=detector, backend=backend)
     list_size = args.pathlimit
     simtype = args.simtype
     if simtype in ("scan", "fastsscan"):
@@ -130,7 +132,6 @@ def make_coders(n_len, k_len, args, detector):
         dec = DepthFirstDecoder(n_len, frozen, systematic=systematic,
                                 detector=detector, trial_limit=list_size)
         return enc, dec
-    backend = getattr(args, "backend", "xla")
     if list_size <= 1:
         dtype = jnp.int8 if args.precision == 8 else jnp.float32
         dec = FastSSCDecoder(n_len, frozen, systematic=systematic,

@@ -225,9 +225,12 @@ class PolarDecoder:
     def __init__(self, blockLength, listSize, frozenBitPositions, decoderType,
                  backend="xla"):
         # `backend` is an extension beyond the pybind11 signature
-        # (decoder_python.cc:20): "pallas" routes float SCL decoding through
-        # the fused VMEM subtree kernels (ops/scl_kernel_bl.py), ~1.45x the
-        # XLA path on one TPU chip. Positional drop-in calls are unaffected.
+        # (decoder_python.cc:20): "pallas" routes float SCL / Fast-SSC
+        # decoding through the fused VMEM subtree kernels
+        # (ops/scl_kernel_bl.py, ops/fastssc_kernel.py), ~1.45x the XLA
+        # path on one TPU chip. Applies to the unrolled-tree decoders only
+        # (N <= the large-N threshold); the scan-over-schedule fallback for
+        # larger N ignores it. Positional drop-in calls are unaffected.
         self._n = int(blockLength)
         self._list = int(listSize)
         self._backend = backend
