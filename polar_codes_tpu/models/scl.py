@@ -847,7 +847,10 @@ class SCLDecoder:
                 self,
                 batch_tile=self._PALLAS_TILE,
                 kernel_span=span,
-                state_dtype=self.dtype,  # f32 or bf16 (packed vreg tiles)
+                # f32 or bf16 state (packed vreg tiles); int8/char runs
+                # saturating ops on bf16 — every value is an integer in
+                # [-254, 254], exact in bf16, so fip_char parity holds
+                state_dtype=(jnp.bfloat16 if self._int8 else self.dtype),
             )
         return self._pallas_fn
 
@@ -918,11 +921,7 @@ class SCLDecoder:
         if self._int8:
             llr = llr.astype(self._sdtype)
         lead = llr.shape[:-1]
-        if (
-            self.backend == "pallas"
-            and self.layout == "batch_first"
-            and not self._int8  # f32 or bf16 state
-        ):
+        if self.backend == "pallas" and self.layout == "batch_first":
             return self._decode_paths_pallas(llr, lead)
         if self.layout == "batch_last":
             flat = llr.reshape((-1, self.block_length))
@@ -971,7 +970,6 @@ class SCLDecoder:
             and self.systematic
             and self._sc is None
             and self.layout == "batch_first"
-            and not self._int8  # f32 or bf16 state
         ):
             return self._decode_pallas_fast(llr)
         codewords, metrics, active = self.decode_paths(llr)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fg import f_minsum, g_update
+from .fg import f_minsum, g_update, f_minsum_sat, g_update_sat
 from ..models.tree import CodeNode, NodeKind
 from ..models.scl import (
     _SPC_FLIPS_EVEN,
@@ -127,6 +127,14 @@ class _BlEmitter:
         self.dec = decoder
         self.n_list = decoder.list_size
         self.sdt = jnp.dtype(state_dtype)
+        # int8 (SclFipChar) mode: saturating f/g; every value is an integer
+        # in [-254, 254], exact in bf16, so the packed state keeps exact
+        # fip_char value parity
+        self.int8 = bool(getattr(decoder, "_int8", False))
+        if self.int8:
+            self.f_fn, self.g_fn = f_minsum_sat, g_update_sat
+        else:
+            self.f_fn, self.g_fn = f_minsum, g_update
 
     # -- pruning -------------------------------------------------------------
 
@@ -169,8 +177,11 @@ class _BlEmitter:
 
     # -- leaf helpers --------------------------------------------------------
 
-    @staticmethod
-    def _hard(llr):
+    def _hard(self, llr):
+        if self.int8:
+            # int-valued storage decides 0 -> bit 0 (fip_char; matches
+            # SCLDecoder._hard's `llr < 0` rule, not the f32 sign bit)
+            return jnp.where(llr < 0, -1.0, 1.0).astype(llr.dtype)
         return jnp.where(jnp.signbit(llr), -1.0, 1.0).astype(llr.dtype)
 
     def _flip(self, mask, like):
@@ -253,7 +264,8 @@ class _BlEmitter:
         hard = self._hard(llr)
         mag = jnp.abs(llr)
         ms, idxs = self._weakest(mag, 4)
-        neg = jnp.sum(jnp.where(jnp.signbit(llr), 1, 0), axis=1)  # [L, B]
+        # parity from the hard decisions (matches _leaf_spc's prod(hard))
+        neg = jnp.sum(jnp.where(hard < 0, 1, 0), axis=1)  # [L, B]
         parity_odd = neg % 2 == 1
         m0 = ms[0]
         t_np = np.asarray(_SPC_T)
@@ -342,13 +354,13 @@ class _BlEmitter:
         half = node.length // 2
         a, b = llr[:, :half, :], llr[:, half:, :]
         left_bits, p_left, metrics = self.node(
-            node.left, f_minsum(a, b), metrics
+            node.left, self.f_fn(a, b), metrics
         )
         if p_left is not None:
             llr_g = _take_state(llr, p_left)
             a, b = llr_g[:, :half, :], llr_g[:, half:, :]
         right_bits, p_right, metrics = self.node(
-            node.right, g_update(a, b, left_bits), metrics
+            node.right, self.g_fn(a, b, left_bits), metrics
         )
         if p_right is not None:
             left_bits = _take_state(left_bits, p_right)
@@ -521,13 +533,13 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         half = node.length // 2
         a, b = llr[:, :half], llr[:, half:]
         left_bits, p_left, metrics = xla_node(
-            node.left, f_minsum(a, b), metrics
+            node.left, emitter.f_fn(a, b), metrics
         )
         if p_left is not None:
             llr_g = glue_take(llr, p_left)
             a, b = llr_g[:, :half], llr_g[:, half:]
         right_bits, p_right, metrics = xla_node(
-            node.right, g_update(a, b, left_bits), metrics
+            node.right, emitter.g_fn(a, b, left_bits), metrics
         )
         if p_right is not None:
             left_bits = glue_take(left_bits, p_right)

@@ -129,6 +129,37 @@ class TestBatchOnLanesKernel:
             np.asarray(m), np.asarray(m_ref), rtol=1e-4, atol=1e-4
         )
 
+    def test_int8_char_matches_xla_int8(self, rng):
+        """int8 (SclFipChar) mode on the pallas backend: saturating f/g on
+        bf16 state — every value is an integer in [-254, 254], exact in
+        bf16, so the kernels must match the XLA int8 path bit-for-bit."""
+        import polar_codes_tpu.ops.scl_kernel_bl as kbl
+
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        ref = SCLDecoder(n_len, frozen, list_size=8, detector=CRC16(),
+                         dtype=jnp.int8)
+        dec = SCLDecoder(n_len, frozen, list_size=8, detector=CRC16(),
+                         dtype=jnp.int8, backend="pallas")
+        dec._PALLAS_TILE = 16
+        dec._pallas_fn = kbl.build_bl_hybrid_decode_paths(
+            dec, batch_tile=16, kernel_span=64, interpret=True,
+            state_dtype=jnp.bfloat16,
+        )
+        llr = jnp.asarray(
+            rng.integers(-100, 101, (32, n_len)).astype(np.int8)
+        )
+        cw_r, m_r, _ = ref.decode_paths(llr)
+        cw_p, m_p, _ = dec.decode_paths(llr)
+        np.testing.assert_array_equal(np.asarray(cw_p), np.asarray(cw_r))
+        np.testing.assert_allclose(
+            np.asarray(m_p), np.asarray(m_r), atol=1e-3
+        )
+        i1, _, ok1 = dec.decode(llr)
+        i2, _, ok2 = ref.decode(llr)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+
     def test_backend_pallas_pads_odd_batches(self, rng):
         # the decoder-level backend wires padding/reshape around the tile;
         # exercised in interpret mode by monkeypatching the builder flag
