@@ -66,7 +66,8 @@ class FastSSCDecoder:
             block_length, self.frozen, systematic=False, detector=Dummy()
         )
         # backend="pallas": VMEM-resident subtree kernels
-        # (ops/fastssc_kernel.py); float32/bfloat16 only, int8 falls back
+        # (ops/fastssc_kernel.py); int8/char runs its saturating ops on
+        # packed bf16 state (exact value parity — integer values)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend
@@ -166,7 +167,7 @@ class FastSSCDecoder:
     def decode_to_codeword(self, llr):
         """[..., N] channel LLRs -> [..., N] codeword bits {0,1}."""
         llr = jnp.asarray(llr, dtype=self.dtype)
-        if self.backend == "pallas" and self.dtype != jnp.dtype(jnp.int8):
+        if self.backend == "pallas":
             if self._pallas_fn is None:
                 from ..ops.fastssc_kernel import build_fs_hybrid_decode
 

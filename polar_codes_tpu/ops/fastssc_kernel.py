@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fg import f_minsum, g_update
+from .fg import f_minsum, g_update, f_minsum_sat, g_update_sat
 from ..models.tree import CodeNode, NodeKind
 
 
@@ -29,25 +29,55 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _hard(llr):
+def _hard_sign(llr):
     """Bipolar sign-bit decision (-0.0 -> -1), in the state dtype."""
     return jnp.where(jnp.signbit(llr), -1.0, 1.0).astype(llr.dtype)
 
 
-def _leaf(node: CodeNode, llr):
+def _hard_char(llr):
+    """Char-mode decision: 0 decides bit 0 (fip_char; int-valued state)."""
+    return jnp.where(llr < 0, -1.0, 1.0).astype(llr.dtype)
+
+
+def _zero_r(a, b):
+    """ZeroR g with all-+1 left bits: plain b + a (no saturation — the
+    float shortcut; the char path saturates via its g_fn instead)."""
+    return b + a
+
+
+class _Ops:
+    """Per-dtype-family arithmetic: float (sign-bit rule, plain min-sum)
+    or char (0 -> bit 0, saturating fip_char ops on integer-valued
+    state)."""
+
+    def __init__(self, char: bool):
+        self.char = char
+        if char:
+            self.f_fn, self.g_fn = f_minsum_sat, g_update_sat
+            self.hard = _hard_char
+            self.zero_r = lambda a, b: g_update_sat(a, b, jnp.ones_like(a))
+        else:
+            self.f_fn, self.g_fn = f_minsum, g_update
+            self.hard = _hard_sign
+            self.zero_r = _zero_r
+
+
+def _leaf(node: CodeNode, llr, ops: _Ops):
     """Fast-SSC leaf shortcuts on [span, B] state."""
     kind = node.kind
     if kind == NodeKind.RATE0:
         return jnp.ones_like(llr)
     if kind == NodeKind.RATE1:
-        return _hard(llr)
+        return ops.hard(llr)
     if kind == NodeKind.REP:
+        # the rep sum does NOT saturate (fastssc int8 sums in int32);
+        # f32 accumulation is exact for both families
         s = jnp.sum(llr.astype(jnp.float32), axis=0, keepdims=True)
-        return jnp.broadcast_to(_hard(s).astype(llr.dtype), llr.shape)
+        return jnp.broadcast_to(ops.hard(s).astype(llr.dtype), llr.shape)
     # SPC: hard decisions, flip the weakest magnitude if parity is odd
-    hard = _hard(llr)
+    hard = ops.hard(llr)
     mag = jnp.abs(llr)
-    neg = jnp.sum(jnp.where(jnp.signbit(llr), 1, 0), axis=0)  # [B]
+    neg = jnp.sum(jnp.where(hard < 0, 1, 0), axis=0)  # [B]
     parity_odd = neg % 2 == 1
     m = jnp.min(mag, axis=0)  # [B]
     iota = _iota(mag.shape, 0)
@@ -57,18 +87,18 @@ def _leaf(node: CodeNode, llr):
     return hard * jnp.where(flip, -1.0, 1.0).astype(hard.dtype)
 
 
-def _emit(node: CodeNode, llr):
+def _emit(node: CodeNode, llr, ops: _Ops):
     """Recursive subtree body; llr [span, B] bipolar-LLR floats."""
     if node.kind != NodeKind.BRANCH:
-        return _leaf(node, llr)
+        return _leaf(node, llr, ops)
     half = node.length // 2
     a, b = llr[:half], llr[half:]
     if node.left.kind == NodeKind.RATE0:
         # ZeroR shortcut: left bits all +1 -> g degenerates to b + a
-        right = _emit(node.right, b + a)
+        right = _emit(node.right, ops.zero_r(a, b), ops)
         return jnp.concatenate([right, right], axis=0)
-    left = _emit(node.left, f_minsum(a, b))
-    right = _emit(node.right, g_update(a, b, left))
+    left = _emit(node.left, ops.f_fn(a, b), ops)
+    right = _emit(node.right, ops.g_fn(a, b, left), ops)
     return jnp.concatenate([left * right, right], axis=0)
 
 
@@ -82,7 +112,14 @@ def build_fs_hybrid_decode(decoder, batch_tile: int = 128,
     semantics) bit-for-bit on tie-free inputs; subtree kernels below
     kernel_span, XLA recursion above."""
     n_len = decoder.block_length
-    state_dtype = jnp.dtype(state_dtype)
+    char = jnp.dtype(decoder.dtype) == jnp.dtype(jnp.int8)
+    if char:
+        # char values are integers in [-254, 254]: exact in bf16, so the
+        # packed state keeps exact FastSscFipChar value parity
+        state_dtype = jnp.dtype(jnp.bfloat16)
+    else:
+        state_dtype = jnp.dtype(state_dtype)
+    ops = _Ops(char)
     subtree_cache = {}
 
     def subtree_call(node: CodeNode):
@@ -93,11 +130,11 @@ def build_fs_hybrid_decode(decoder, batch_tile: int = 128,
 
         def kernel(llr_ref, out_ref):
             out_ref[...] = jnp.signbit(
-                _emit(node, llr_ref[...])
+                _emit(node, llr_ref[...], ops)
             ).astype(jnp.uint8)
 
         def kernel_bits(llr_ref, out_ref):
-            out_ref[...] = _emit(node, llr_ref[...])
+            out_ref[...] = _emit(node, llr_ref[...], ops)
 
         is_root = span == n_len
 
@@ -128,14 +165,14 @@ def build_fs_hybrid_decode(decoder, batch_tile: int = 128,
         if node.length <= kernel_span:
             return subtree_call(node)(llr)
         if node.kind != NodeKind.BRANCH:
-            return _leaf(node, llr)
+            return _leaf(node, llr, ops)
         half = node.length // 2
         a, b = llr[:half], llr[half:]
         if node.left.kind == NodeKind.RATE0:
-            right = xla_node(node.right, b + a)
+            right = xla_node(node.right, ops.zero_r(a, b))
             return jnp.concatenate([right, right], axis=0)
-        left = xla_node(node.left, f_minsum(a, b))
-        right = xla_node(node.right, g_update(a, b, left))
+        left = xla_node(node.left, ops.f_fn(a, b))
+        right = xla_node(node.right, ops.g_fn(a, b, left))
         return jnp.concatenate([left * right, right], axis=0)
 
     def run(llr):

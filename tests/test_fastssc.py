@@ -195,3 +195,23 @@ class TestPallasFastSSCKernel:
             np.asarray(dec.decode_to_codeword(llr)),
             np.asarray(ref.decode_to_codeword(llr)),
         )
+
+    def test_int8_char_matches_xla(self, rng):
+        """char mode: saturating fip_char ops on packed bf16 state must be
+        value-exact vs the XLA int8 tree decode."""
+        from polar_codes_tpu.ops.fastssc_kernel import build_fs_hybrid_decode
+
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        ref = FastSSCDecoder(n_len, frozen, systematic=True, dtype=jnp.int8)
+        dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=jnp.int8,
+                             backend="pallas")
+        dec._PALLAS_TILE = 16
+        dec._pallas_fn = build_fs_hybrid_decode(
+            dec, batch_tile=16, kernel_span=64, interpret=True
+        )
+        llr = jnp.asarray(rng.integers(-110, 111, (37, n_len)).astype(np.int8))
+        np.testing.assert_array_equal(
+            np.asarray(dec.decode_to_codeword(llr)),
+            np.asarray(ref.decode_to_codeword(llr)),
+        )
