@@ -55,21 +55,35 @@ def enumerate_rows(quick: bool):
             rows.append(dict(kind="encode", N=n_len, K=n_len // 2,
                              C=c_bits, L=0, dtype="float"))
 
+    # encode: fused VMEM kernel variant (<=8192: the all-stage block cap)
+    for n_len in [n for n in enc_ns if 256 <= n <= 8192]:
+        rows.append(dict(kind="encode", N=n_len, K=n_len // 2,
+                         C=16, L=0, dtype="pallas"))
+
     dec_ns = [256, 1024] if quick else [64, 256, 1024, 4096, 8192]
     for n_len in dec_ns:
         for tag in ("float", "char"):
+            rows.append(dict(kind="fastssc", N=n_len, K=n_len // 2,
+                             C=0, L=1, dtype=tag))
+    # Fast-SSC fused-kernel variants (float, and char-on-bf16)
+    for n_len in [n for n in dec_ns if n >= 256]:
+        for tag in ("pallas", "pallas_char"):
             rows.append(dict(kind="fastssc", N=n_len, K=n_len // 2,
                              C=0, L=1, dtype=tag))
 
     scl_ls = [2, 8] if quick else [1, 2, 4, 8, 16, 32]
     for n_len in ([1024] if quick else [256, 1024, 4096]):
         for list_size in scl_ls:
-            for tag in ("float", "char", "pallas"):
+            for tag in ("float", "char", "pallas", "pallas_char"):
                 if n_len == 4096 and list_size > 8:
                     continue  # compile-time guard; covered at 1024
-                if tag == "pallas" and (list_size == 1 or list_size > 16):
+                if tag.startswith("pallas") and (
+                    list_size == 1 or list_size > 16
+                ):
                     # L=1 delegates to Fast-SSC; L=32 state exceeds VMEM
                     continue
+                if tag == "pallas_char" and (n_len, list_size) != (1024, 8):
+                    continue  # one flagship-shape row for the char kernels
                 rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
                                  C=16, L=list_size, dtype=tag))
 
@@ -93,6 +107,8 @@ def enumerate_rows(quick: bool):
 def row_name(row):
     kind, n_len = row["kind"], row["N"]
     if kind == "encode":
+        if row["dtype"] == "pallas":
+            return f"encode_pallas_n{n_len}_crc{row['C']}"
         return f"encode_n{n_len}_crc{row['C']}"
     if kind == "fastssc":
         return f"fastssc_{row['dtype']}_n{n_len}"
@@ -141,13 +157,17 @@ def run_row(row, batch_bits, out):
     if kind == "encode":
         det = make_detector(row["C"], "crc") if row["C"] else None
         frozen = frozen_bits(n_len, k_len, 0.0)
-        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        enc = PolarEncoder(
+            n_len, frozen, systematic=True, detector=det,
+            backend="pallas" if row["dtype"] == "pallas" else "xla",
+        )
         bits = jnp.asarray(rng.integers(0, 2, (batch, k_len)), jnp.uint8)
         secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
         roof = roofline(lambda x: enc.encode(x), bits, seconds=secs)
     else:
         frozen = frozen_bits(n_len, k_len, 0.0)
-        dtype = jnp.int8 if row["dtype"] == "char" else jnp.float32
+        dtype = (jnp.int8 if row["dtype"] in ("char", "pallas_char")
+                 else jnp.float32)
         if kind in ("sc_scan", "cascl_scan"):
             from ..models.large import LargeSCDecoder, LargeSCLDecoder
 
@@ -167,10 +187,14 @@ def run_row(row, batch_bits, out):
                                       systematic=True, detector=det,
                                       dtype=dtype)
         elif kind == "fastssc":
-            dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=dtype)
+            backend = ("pallas" if row["dtype"].startswith("pallas")
+                       else "xla")
+            dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=dtype,
+                                 backend=backend)
         elif kind == "cascl":
             det = make_detector(row["C"], "crc")
-            backend = "pallas" if row["dtype"] == "pallas" else "xla"
+            backend = ("pallas" if row["dtype"].startswith("pallas")
+                       else "xla")
             dec = SCLDecoder(n_len, frozen, list_size=row["L"],
                              systematic=True, detector=det, dtype=dtype,
                              backend=backend)
