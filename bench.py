@@ -63,7 +63,22 @@ def main():
     from polar_codes_tpu.utils.timing import time_device_fn
 
     reps = int(os.environ.get("BENCH_REPS", "8"))
-    best = time_device_fn(lambda x: dec.decode(x), llr, reps=reps)
+    try:
+        best = time_device_fn(lambda x: dec.decode(x), llr, reps=reps)
+    except Exception as exc:  # noqa: BLE001
+        if "UNAVAILABLE" in str(exc) or dec.backend != "pallas":
+            raise  # backend loss -> outer retry; xla failure -> real bug
+        # Mosaic / kernel regression guard: the headline must still be
+        # measured, so fall back to the XLA path and report that number.
+        import sys
+
+        print(f"# pallas backend failed ({type(exc).__name__}: "
+              f"{str(exc)[:200]}); falling back to xla", file=sys.stderr)
+        dec = SCLDecoder(
+            n_len, frozen, list_size=list_size, systematic=True,
+            detector=det, backend="xla",
+        )
+        best = time_device_fn(lambda x: dec.decode(x), llr, reps=reps)
 
     payload_bits = batch * (k_len - det.tail_bits)
     mbps = payload_bits / best / 1e6
