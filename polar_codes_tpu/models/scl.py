@@ -842,7 +842,11 @@ class SCLDecoder:
 
             span = self._pallas_span
             if span is None:
-                span = min(256, self.block_length)
+                # VMEM-safe default: L=8 x span-256 is the measured sweet
+                # spot; larger lists shrink the kernel span so the
+                # VMEM-resident [L, span, B] state stays ~constant
+                span = max(64, min(256, 2048 // max(self.list_size, 8)))
+                span = min(span, self.block_length)
             self._pallas_fn = build_bl_hybrid_decode_paths(
                 self,
                 batch_tile=self._PALLAS_TILE,

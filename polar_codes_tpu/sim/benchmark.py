@@ -77,11 +77,8 @@ def enumerate_rows(quick: bool):
             for tag in ("float", "char", "pallas", "pallas_char"):
                 if n_len == 4096 and list_size > 8:
                     continue  # compile-time guard; covered at 1024
-                if tag.startswith("pallas") and (
-                    list_size == 1 or list_size > 16
-                ):
-                    # L=1 delegates to Fast-SSC; L=32 state exceeds VMEM
-                    continue
+                if tag.startswith("pallas") and list_size == 1:
+                    continue  # L=1 delegates to Fast-SSC (same program)
                 if tag == "pallas_char" and (n_len, list_size) != (1024, 8):
                     continue  # one flagship-shape row for the char kernels
                 rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
@@ -122,7 +119,10 @@ def row_name(row):
 
 
 def load_done(path):
-    done = set()
+    """Bench names that need no further runs: measured rows, plus rows
+    that failed deterministically twice (one retry covers worker-crash
+    flakes; a second identical failure would loop forever under --loop)."""
+    done, errors = set(), {}
     if path and os.path.exists(path):
         with open(path) as fh:
             for line in fh:
@@ -130,8 +130,13 @@ def load_done(path):
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "bench" in rec and "error" not in rec:
+                if "bench" not in rec:
+                    continue
+                if "error" in rec:
+                    errors[rec["bench"]] = errors.get(rec["bench"], 0) + 1
+                else:
                     done.add(rec["bench"])
+    done.update(b for b, n in errors.items() if n >= 2)
     return done
 
 
@@ -294,7 +299,21 @@ def main(argv=None):
         for row in rows:
             if row["bench"] in done:
                 continue
-            run_row(row, args.batch_bits, out)
+            try:
+                run_row(row, args.batch_bits, out)
+            except Exception as exc:  # noqa: BLE001
+                if "UNAVAILABLE" in str(exc):
+                    raise  # backend loss: let --loop respawn after recovery
+                # deterministic row failure (e.g. a kernel rejected by
+                # Mosaic): record it and keep the rest of the grid going
+                line = json.dumps(dict(
+                    bench=row["bench"],
+                    error=f"{type(exc).__name__}: {exc}"[:500],
+                ))
+                print(line, flush=True)
+                if out:
+                    out.write(line + "\n")
+                    out.flush()
     finally:
         if out:
             out.close()
