@@ -171,6 +171,22 @@ class TestDsp:
         # fade magnitude: E[|h|] = sqrt(pi/2) for unit-variance components
         assert abs(np.mean(out) - np.sqrt(np.pi / 2)) < 0.02
 
+    def test_rayleigh_uncoded_ber_matches_closed_form(self):
+        """Hard-decision BPSK over y = |h|x + n (rayleigh.cpp semantics):
+        BER = (1 - sqrt(g/(1+g)))/2 with g = Es/N0 (|h|^2 is exponential
+        with mean 2, so the per-symbol SNR |h|^2 g/2 has mean g)."""
+        from polar_codes_tpu.dsp import apply_rayleigh
+
+        for esn0_db in (0.0, 10.0):
+            esn0 = 10.0 ** (esn0_db / 10.0)
+            sig = jnp.ones((1 << 21,), jnp.float32)
+            out = apply_rayleigh(
+                jax.random.PRNGKey(42), sig, esn0_linear=esn0
+            )
+            ber = float(jnp.mean(out < 0))
+            analytic = 0.5 * (1.0 - np.sqrt(esn0 / (1.0 + esn0)))
+            assert abs(ber - analytic) / analytic < 0.02
+
 
 class TestPallasFastSSCKernel:
     """VMEM-resident Fast-SSC subtree kernels (ops/fastssc_kernel.py):
