@@ -75,6 +75,44 @@ class TestFiveGTools:
         # 16 positions were sent twice -> |llr| == 2
         assert np.count_nonzero(np.abs(rec) == 2.0) == 16
 
+    def test_full_nr_chain_end_to_end(self, rng):
+        """Whole 5G NR path in one test: 5G construction + CRC11NR +
+        non-systematic encode + TS 38.212 rate matching (E < N puncture)
+        + AWGN + LLR recovery + CA-SCL-8 decode."""
+        import jax
+        from polar_codes_tpu.models.scl import SCLDecoder
+        from polar_codes_tpu.models.detectors import make_detector
+        from polar_codes_tpu.dsp import bpsk_modulate, add_awgn
+
+        n_len, k_len, e_len = 512, 140, 400
+        det = make_detector(11, "crc")  # CRC11NR
+        frozen = frozen_bits(n_len, k_len, 0.0, "5G")
+        enc = PolarEncoder(n_len, frozen, systematic=False, detector=det)
+        dec = SCLDecoder(n_len, frozen, list_size=8, systematic=False,
+                         detector=det)
+        info = rng.integers(0, 2, (256, k_len)).astype(np.uint8)
+        sent = np.asarray(det.generate(jnp.asarray(info)))
+        cw = np.asarray(enc.encode(jnp.asarray(info)))
+        tx = tools.nr_rate_match(cw, e_len, mode="puncture")
+        # noiseless round-trip through recover + decode is exact
+        clean = tools.nr_rate_recover(
+            100.0 * (1.0 - 2.0 * tx.astype(np.float64)), n_len,
+            mode="puncture")
+        d0, _, ok0 = dec.decode(jnp.asarray(clean, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(d0), sent)
+        assert bool(np.asarray(ok0).all())
+        # 3 dB Eb/N0 (referenced to the E transmitted bits): BLER well
+        # under 10% and no missed detections (measured ~0 at this point)
+        esn0 = 10.0 ** 0.3 * k_len / e_len
+        y = add_awgn(jax.random.PRNGKey(9), bpsk_modulate(jnp.asarray(tx)),
+                     esn0_linear=esn0)
+        llr = tools.nr_rate_recover(np.asarray(y, np.float64), n_len,
+                                    mode="puncture")
+        d, _, ok = dec.decode(jnp.asarray(llr, jnp.float32))
+        err = np.any(np.asarray(d) != sent, axis=1)
+        assert err.mean() < 0.1
+        assert not bool((np.asarray(ok) & err).any())
+
 
 class TestStrategies:
     def test_factory_matches_construction(self):
