@@ -87,6 +87,10 @@ def enumerate_rows(quick: bool):
     for n_len in ([1024] if quick else [256, 1024]):
         rows.append(dict(kind="scan", N=n_len, K=n_len // 2, C=0, L=4,
                          dtype="float"))
+    if not quick:
+        # fused all-sweeps VMEM SCAN kernel (ops/scan_kernel.py)
+        rows.append(dict(kind="scan", N=1024, K=512, C=0, L=4,
+                         dtype="pallas"))
 
     if not quick:
         # scan-over-schedule decoders at block lengths beyond the unrolled
@@ -115,6 +119,8 @@ def row_name(row):
         return f"cascl_{row['dtype']}_n{n_len}_l{row['L']}"
     if kind == "cascl_scan":
         return f"cascl_scan_{row['dtype']}_n{n_len}_l{row['L']}"
+    if row["dtype"] == "pallas":
+        return f"scan{row['L']}_pallas_n{n_len}"
     return f"scan{row['L']}_n{n_len}"
 
 
@@ -205,7 +211,9 @@ def run_row(row, batch_bits, out):
                              backend=backend)
         else:
             dec = ScanDecoder(n_len, frozen, systematic=True,
-                              iterations=row["L"])
+                              iterations=row["L"],
+                              backend=("pallas" if row["dtype"] == "pallas"
+                                       else "xla"))
         llr = jnp.asarray(rng.normal(0, 2, (batch, n_len)), jnp.float32)
         if dtype == jnp.int8:
             llr = jnp.clip(jnp.round(llr * 8), -127, 127).astype(jnp.int8)

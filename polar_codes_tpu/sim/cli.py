@@ -124,7 +124,7 @@ def make_coders(n_len, k_len, args, detector):
 
         cls = ScanDecoder if simtype == "scan" else FastSScanDecoder
         dec = cls(n_len, frozen, systematic=systematic, detector=detector,
-                  iterations=list_size)
+                  iterations=list_size, backend=backend)
         return enc, dec
     if simtype == "depthfirst":
         from ..models.depthfirst import DepthFirstDecoder
