@@ -138,12 +138,20 @@ class LargeSCDecoder:
         dtype=jnp.float32,
         chunk: int = 512,
         fast_chunks: bool = True,
+        backend: str = "xla",
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
         _check_pow2(chunk, "chunk")
         self.block_length = block_length
         self.chunk = chunk
+        # backend="pallas": the generic masked-SC chunk body runs as ONE
+        # VMEM-resident kernel per scan step instead of ~2*chunk tiny XLA
+        # ops (ops/large_kernel.py) — the scan decoders are dispatch-bound
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+        self._chunk_kernel = None
         # fast_chunks: decode pure rate0/rate1/rep/spc chunks with the
         # closed-form Fast-SSC rules (bit-identical to per-bit min-sum SC
         # on tie-free inputs, Sarkis et al.) instead of the generic
@@ -236,13 +244,25 @@ class LargeSCDecoder:
         x = hard * flip
         return x, butterfly_transform_bipolar(x)
 
+    def _chunk_mixed(self, llr, mask):
+        """Generic-chunk dispatch honoring the backend."""
+        if self.backend == "pallas":
+            if self._chunk_kernel is None:
+                from ..ops.large_kernel import build_masked_sc_chunk_kernel
+
+                self._chunk_kernel = build_masked_sc_chunk_kernel(
+                    self.chunk, int8=self._int8
+                )
+            return self._chunk_kernel(llr, mask.astype(jnp.float32))
+        return self._chunk_sc(llr, mask)
+
     def _chunk_switch(self, cls, llr, mask):
         """Dispatch one chunk: pure classes take the closed form, mixed
         chunks the generic mask-driven recursion."""
         return jax.lax.switch(
             cls,
             [
-                lambda l, m: self._chunk_sc(l, m),
+                lambda l, m: self._chunk_mixed(l, m),
                 self._chunk_rate0,
                 self._chunk_rate1,
                 self._chunk_rep,
@@ -263,7 +283,9 @@ class LargeSCDecoder:
         batch = llr_flat.shape[0]
 
         if n_chunks == 1:
-            _, u = self._chunk_sc(llr_flat, jnp.asarray(self._mask_chunks[0]))
+            _, u = self._chunk_mixed(
+                llr_flat, jnp.asarray(self._mask_chunks[0])
+            )
             return u
 
         init_llrs = tuple(

@@ -96,8 +96,9 @@ def enumerate_rows(quick: bool):
         # scan-over-schedule decoders at block lengths beyond the unrolled
         # trees' compile budget (main_benchmark.cpp runs N up to 131072)
         for n_len in (32768, 131072):
-            rows.append(dict(kind="sc_scan", N=n_len, K=n_len // 2,
-                             C=0, L=1, dtype="float"))
+            for tag in ("float", "pallas"):
+                rows.append(dict(kind="sc_scan", N=n_len, K=n_len // 2,
+                                 C=0, L=1, dtype=tag))
         rows.append(dict(kind="cascl_scan", N=32768, K=16384,
                          C=16, L=8, dtype="float"))
     for row in rows:
@@ -189,8 +190,10 @@ def run_row(row, batch_bits, out):
             # the worker-crash bound from CLAUDE.md)
             if kind == "sc_scan":
                 batch = min(max(2 * batch_bits // n_len, 16), 256)
-                dec = LargeSCDecoder(n_len, frozen, systematic=True,
-                                     dtype=dtype)
+                dec = LargeSCDecoder(
+                    n_len, frozen, systematic=True, dtype=dtype,
+                    backend=("pallas" if row["dtype"] == "pallas"
+                             else "xla"))
             else:
                 batch = max(batch_bits // n_len, 8)
                 det = make_detector(row["C"], "crc")

@@ -298,7 +298,8 @@ class PolarDecoder:
 
             dtype = jnp.int8 if self._flag == 0 else jnp.float32
             if lst == 1:
-                self._dec = LargeSCDecoder(n, frozen, dtype=dtype, **kw)
+                self._dec = LargeSCDecoder(n, frozen, dtype=dtype,
+                                           backend=self._backend, **kw)
             else:
                 self._dec = LargeSCLDecoder(
                     n, frozen, list_size=lst, dtype=dtype, **kw
@@ -308,7 +309,8 @@ class PolarDecoder:
             self._dec = FastSSCDecoder(n, frozen, dtype=dtype,
                                        backend=self._backend, **kw)
         elif self._flag == 3:
-            self._dec = ScanDecoder(n, frozen, iterations=lst, **kw)
+            self._dec = ScanDecoder(n, frozen, iterations=lst,
+                                    backend=self._backend, **kw)
         elif self._flag == 2 and self._detector.tail_bits:
             self._dec = AdaptiveDecoder(n, frozen, list_size=lst,
                                         backend=self._backend, **kw)

@@ -40,6 +40,52 @@ class TestLargeSC:
         cw = np.asarray(dec.decode_to_codeword(jnp.asarray(llr)))
         np.testing.assert_array_equal(cw, cw_ref)
 
+    def test_pallas_chunk_kernel_matches_chunk_sc(self, rng):
+        """ops/large_kernel.py interpret mode is bit-exact vs the XLA
+        mask-driven chunk recursion, float and saturating-int8 families."""
+        from polar_codes_tpu.ops.large_kernel import (
+            build_masked_sc_chunk_kernel,
+        )
+
+        chunk = 64
+        for int8 in (False, True):
+            dec = LargeSCDecoder(
+                chunk, frozen_bits(chunk, 40, 0.0), chunk=chunk,
+                dtype=jnp.int8 if int8 else jnp.float32,
+            )
+            mask = rng.integers(0, 2, chunk).astype(bool)
+            llr = rng.normal(0, 2, (12, chunk)).astype(np.float32)
+            if int8:
+                llr = np.clip(np.round(llr * 8), -127, 127).astype(np.float32)
+            fn = build_masked_sc_chunk_kernel(
+                chunk, int8=int8, batch_tile=8, interpret=True
+            )
+            x_k, u_k = fn(jnp.asarray(llr), jnp.asarray(mask, jnp.float32))
+            x_x, u_x = dec._chunk_sc(jnp.asarray(llr), jnp.asarray(mask))
+            np.testing.assert_array_equal(np.asarray(x_k), np.asarray(x_x))
+            np.testing.assert_array_equal(np.asarray(u_k), np.asarray(u_x))
+
+    def test_pallas_backend_end_to_end_interpret(self, rng, monkeypatch):
+        """LargeSCDecoder(backend='pallas') equals the XLA backend through
+        the full outer scan (kernels forced to interpret mode)."""
+        import polar_codes_tpu.ops.large_kernel as lk
+
+        orig = lk.build_masked_sc_chunk_kernel
+        monkeypatch.setattr(
+            lk, "build_masked_sc_chunk_kernel",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True,
+                                          "batch_tile": 8}),
+        )
+        n_len, k_len = 512, 300
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        llr = rng.normal(0, 2, (8, n_len)).astype(np.float32)
+        dec_x = LargeSCDecoder(n_len, frozen, systematic=True, chunk=128)
+        dec_p = LargeSCDecoder(n_len, frozen, systematic=True, chunk=128,
+                               backend="pallas")
+        cw_x = np.asarray(dec_x.decode_to_codeword(jnp.asarray(llr)))
+        cw_p = np.asarray(dec_p.decode_to_codeword(jnp.asarray(llr)))
+        np.testing.assert_array_equal(cw_p, cw_x)
+
     def test_fast_chunks_cover_all_classes(self, rng):
         """A construction whose chunking produces every pure class, and
         the fast path still equals Fast-SSC bit-for-bit (f32 min-sum)."""
