@@ -406,6 +406,7 @@ class LargeSCLDecoder(SCLDecoder):
         dtype=jnp.float32,
         chunk: int = 256,
         fast_chunks: bool = True,
+        backend: str = "xla",
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
@@ -428,9 +429,17 @@ class LargeSCLDecoder(SCLDecoder):
         self.max_enum_k = 0
         self.layout = "batch_first"
         self.tree = None
+        self._sc = None
         self._enum_tables = {}
         self.chunk = chunk
         self.fast_chunks = bool(fast_chunks)
+        # backend="pallas": the mask-driven bitwise-SCL chunk runs as one
+        # VMEM kernel per scan step (ops/large_kernel.py) instead of
+        # ~2*chunk tiny per-bit fork ops — the dominant dispatch train
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+        self._chunk_kernel = None
         self._mask_chunks = _frozen_mask_chunks(
             block_length, self.frozen, chunk
         )
@@ -500,6 +509,16 @@ class LargeSCLDecoder(SCLDecoder):
             )
 
         def mixed(l, m, mets):
+            if self.backend == "pallas":
+                if self._chunk_kernel is None:
+                    from ..ops.large_kernel import (
+                        build_masked_scl_chunk_kernel,
+                    )
+
+                    self._chunk_kernel = build_masked_scl_chunk_kernel(
+                        self.chunk, n_list, int8=self._int8
+                    )
+                return self._chunk_kernel(l, m.astype(jnp.float32), mets)
             bits, perm, mets = self._chunk_scl(l, m, mets)
             if perm is None:  # degenerate: chunk with no prune at all
                 perm = identity_perm(mets)
@@ -566,8 +585,9 @@ class LargeSCLDecoder(SCLDecoder):
             llr_l = jnp.broadcast_to(
                 flat[:, None, :], (batch, n_list, n_len)
             )
-            bits, _, metrics = self._chunk_scl(
-                llr_l, jnp.asarray(self._mask_chunks[0]), metrics0
+            bits, _, metrics = self._chunk_switch_scl(
+                jnp.int32(_MIXED), llr_l,
+                jnp.asarray(self._mask_chunks[0]), metrics0
             )
             codewords = jnp.signbit(bits).astype(jnp.uint8)
             codewords = codewords.reshape(lead + (n_list, n_len))

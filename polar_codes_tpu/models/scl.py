@@ -972,6 +972,7 @@ class SCLDecoder:
         if (
             self.backend == "pallas"
             and self.systematic
+            and self.tree is not None  # LargeSCLDecoder has its own kernels
             and self._sc is None
             and self.layout == "batch_first"
         ):

@@ -33,6 +33,120 @@ from jax.experimental.pallas import tpu as pltpu
 from .fg import f_minsum, g_update, f_minsum_sat, g_update_sat
 
 
+def build_masked_scl_chunk_kernel(chunk: int, n_list: int,
+                                  int8: bool = False,
+                                  batch_tile: int = 128,
+                                  interpret: bool = False):
+    """Mask-driven bitwise-SCL chunk as one VMEM kernel.
+
+    Returns fn(llr [B, L, M] f32, mask01 [M] f32, metrics [B, L] f32) ->
+    (bits [B, L, M] bipolar f32, perm [B, L] int32, metrics' [B, L]) — the
+    fused rendering of LargeSCLDecoder._chunk_scl: every span-1 leaf runs
+    the uniform 2-candidate prune of LargeSCLDecoder._leaf_bit (frozen
+    bits kill the flip candidate with the inactive-slot metric), branches
+    compose the path perms exactly like the [L, span, B] subtree kernels
+    (ops/scl_kernel_bl.py machinery, reused here)."""
+    from types import SimpleNamespace
+
+    from .scl_kernel_bl import _BlEmitter, _take_state, _compose0, _iota
+    from ..models.scl import _NEG
+
+    emitter = _BlEmitter(
+        SimpleNamespace(list_size=n_list, _int8=int8), jnp.float32
+    )
+    f_fn, g_fn = emitter.f_fn, emitter.g_fn
+
+    def leaf(llr, mask, metrics):
+        """llr [w, 1, B], mask [1, B], metrics [w, B]."""
+        work = llr[:, 0, :].astype(jnp.float32)
+        mag = jnp.abs(work)
+        hard = emitter._hard(llr)
+        frozen = mask[0] > 0.0  # [B]
+        d_keep = jnp.where(
+            frozen[None, :], jnp.minimum(work, 0.0), jnp.zeros_like(mag)
+        )
+        d_flip = jnp.where(frozen[None, :], jnp.full_like(mag, _NEG), -mag)
+        deltas = jnp.stack([d_keep, d_flip], axis=0)  # [2, w, B]
+        new_metrics, src, cand = emitter._prune(metrics, deltas)
+        hard_g = _take_state(hard, src)
+        bits = hard_g * emitter._flip((cand == 1)[:, None, :], hard_g)
+        bits = jnp.where(frozen[None, None, :], jnp.ones_like(bits), bits)
+        return bits, src, new_metrics
+
+    def node(llr, mask, metrics):
+        span = llr.shape[1]
+        if span == 1:
+            return leaf(llr, mask, metrics)
+        half = span // 2
+        a, b = llr[:, :half, :], llr[:, half:, :]
+        left_bits, p_left, metrics = node(f_fn(a, b), mask[:half], metrics)
+        if p_left is not None:
+            llr_g = _take_state(llr, p_left)
+            a, b = llr_g[:, :half, :], llr_g[:, half:, :]
+        right_bits, p_right, metrics = node(
+            g_fn(a, b, left_bits), mask[half:], metrics
+        )
+        if p_right is not None:
+            left_bits = _take_state(left_bits, p_right)
+        perm = _compose0(p_left, p_right)
+        bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
+        return bits, perm, metrics
+
+    def kernel(llr_ref, mask_ref, met_ref, bits_ref, perm_ref, out_met_ref):
+        metrics = met_ref[...].T  # [w, B]
+        bits, perm, metrics = node(llr_ref[...], mask_ref[...], metrics)
+        if perm is None:
+            perm = _iota((n_list, batch_tile), 0)
+        bits_ref[...] = bits
+        perm_ref[...] = perm.T
+        out_met_ref[...] = metrics.T
+
+    def fn(llr, mask01, metrics):
+        n_batch = llr.shape[0]
+        pad = (-n_batch) % batch_tile
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad,) + llr.shape[1:], llr.dtype)]
+            )
+            metrics = jnp.concatenate(
+                [metrics,
+                 jnp.full((pad, n_list), _NEG, metrics.dtype)]
+            )
+        n_pad = n_batch + pad
+        mask_b = jnp.broadcast_to(
+            mask01.astype(jnp.float32)[:, None], (chunk, n_pad)
+        )
+        grid = (n_pad // batch_tile,)
+        state_spec = pl.BlockSpec((n_list, chunk, batch_tile),
+                                  lambda i: (0, 0, i),
+                                  memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((chunk, batch_tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((batch_tile, n_list), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        bits, perm, out_met = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[state_spec, mask_spec, vec_spec],
+            out_specs=[state_spec, vec_spec, vec_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_list, chunk, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, n_list), jnp.int32),
+                jax.ShapeDtypeStruct((n_pad, n_list), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.transpose(llr, (1, 2, 0)).astype(jnp.float32), mask_b,
+          metrics)
+        bits = jnp.transpose(bits, (2, 0, 1))  # [Bp, L, M]
+        if pad:
+            bits, perm, out_met = (
+                bits[:n_batch], perm[:n_batch], out_met[:n_batch]
+            )
+        return bits, perm, out_met
+
+    return fn
+
+
 def build_masked_sc_chunk_kernel(chunk: int, int8: bool = False,
                                  batch_tile: int = 128,
                                  interpret: bool = False):

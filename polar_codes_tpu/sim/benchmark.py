@@ -99,8 +99,9 @@ def enumerate_rows(quick: bool):
             for tag in ("float", "pallas"):
                 rows.append(dict(kind="sc_scan", N=n_len, K=n_len // 2,
                                  C=0, L=1, dtype=tag))
-        rows.append(dict(kind="cascl_scan", N=32768, K=16384,
-                         C=16, L=8, dtype="float"))
+        for tag in ("float", "pallas"):
+            rows.append(dict(kind="cascl_scan", N=32768, K=16384,
+                             C=16, L=8, dtype=tag))
     for row in rows:
         row["bench"] = row_name(row)
     return rows
@@ -199,7 +200,10 @@ def run_row(row, batch_bits, out):
                 det = make_detector(row["C"], "crc")
                 dec = LargeSCLDecoder(n_len, frozen, list_size=row["L"],
                                       systematic=True, detector=det,
-                                      dtype=dtype)
+                                      dtype=dtype,
+                                      backend=("pallas"
+                                               if row["dtype"] == "pallas"
+                                               else "xla"))
         elif kind == "fastssc":
             backend = ("pallas" if row["dtype"].startswith("pallas")
                        else "xla")

@@ -302,7 +302,8 @@ class PolarDecoder:
                                            backend=self._backend, **kw)
             else:
                 self._dec = LargeSCLDecoder(
-                    n, frozen, list_size=lst, dtype=dtype, **kw
+                    n, frozen, list_size=lst, dtype=dtype,
+                    backend=self._backend, **kw
                 )
         elif lst == 1:
             dtype = jnp.float32 if self._flag == 1 else jnp.int8

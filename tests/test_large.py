@@ -209,6 +209,67 @@ class TestLargeSCL:
             best = np.argmax(mets[i])
             np.testing.assert_array_equal(us[i, best], u_ref[0])
 
+    def test_pallas_scl_chunk_kernel_matches_chunk_scl(self, rng):
+        """ops/large_kernel.py SCL chunk kernel (interpret) vs the XLA
+        per-bit fork recursion: identical bits, perm, and metrics."""
+        from polar_codes_tpu.ops.large_kernel import (
+            build_masked_scl_chunk_kernel,
+        )
+        from polar_codes_tpu.models.large import _NEG as _neg
+
+        chunk, n_list = 32, 4
+        dec = LargeSCLDecoder(
+            chunk, frozen_bits(chunk, 20, 0.0), list_size=n_list,
+            chunk=chunk,
+        )
+        mask = np.zeros(chunk, bool)
+        mask[frozen_bits(chunk, 20, 0.0)] = True
+        llr = rng.normal(0, 2, (4, n_list, chunk)).astype(np.float32)
+        metrics = np.full((4, n_list), _neg, np.float32)
+        metrics[:, 0] = 0.0
+        fn = build_masked_scl_chunk_kernel(
+            chunk, n_list, batch_tile=4, interpret=True
+        )
+        b_k, p_k, m_k = fn(
+            jnp.asarray(llr), jnp.asarray(mask, jnp.float32),
+            jnp.asarray(metrics),
+        )
+        b_x, p_x, m_x = dec._chunk_scl(
+            jnp.asarray(llr), jnp.asarray(mask), jnp.asarray(metrics)
+        )
+        np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_x))
+        np.testing.assert_allclose(
+            np.asarray(m_k), np.asarray(m_x), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(b_k), np.asarray(b_x))
+
+    def test_pallas_scl_backend_end_to_end_interpret(self, rng, monkeypatch):
+        """LargeSCLDecoder(backend='pallas') equals the XLA backend through
+        the outer scan, CRC-aided decode included (interpret kernels)."""
+        import polar_codes_tpu.ops.large_kernel as lk
+
+        orig = lk.build_masked_scl_chunk_kernel
+        monkeypatch.setattr(
+            lk, "build_masked_scl_chunk_kernel",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True,
+                                          "batch_tile": 8}),
+        )
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        det = CRC16()
+        kw = dict(list_size=4, systematic=True, detector=det, chunk=64)
+        dec_x = LargeSCLDecoder(n_len, frozen, **kw)
+        dec_p = LargeSCLDecoder(n_len, frozen, backend="pallas", **kw)
+        llr = rng.normal(0.7, 1.5, (8, n_len)).astype(np.float32)
+        cx, mx, _ = dec_x.decode_paths(jnp.asarray(llr))
+        cp, mp, _ = dec_p.decode_paths(jnp.asarray(llr))
+        np.testing.assert_array_equal(np.asarray(cp), np.asarray(cx))
+        np.testing.assert_allclose(np.asarray(mp), np.asarray(mx), atol=1e-4)
+        ix, cwx, okx = dec_x.decode(jnp.asarray(llr))
+        ip, cwp, okp = dec_p.decode(jnp.asarray(llr))
+        np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+        np.testing.assert_array_equal(np.asarray(okp), np.asarray(okx))
+
     def test_ca_scl_roundtrip_noisy(self, rng):
         """(1024,512) CA-SCL-8 CRC16 at ~2 dB: bitwise SCL must be at
         least as good as the SSCL tree decoder on the same noise."""
