@@ -84,6 +84,19 @@ def enumerate_rows(quick: bool):
                 rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
                                  C=16, L=list_size, dtype=tag))
 
+    if not quick:
+        # construction variant (the reference benchmarks BE separately:
+        # main_benchmark.cpp:460 — the frozen set changes the specialized
+        # tree, so throughput differs from BB) and a rate sweep at the
+        # flagship shape (the reference sweeps K in {128..896})
+        rows.append(dict(kind="cascl", N=1024, K=512, C=16, L=8,
+                         dtype="float", ctor="BE"))
+        rows.append(dict(kind="fastssc", N=1024, K=512, C=0, L=1,
+                         dtype="float", ctor="BE"))
+        for k_len in (256, 768):
+            rows.append(dict(kind="cascl", N=1024, K=k_len, C=16, L=8,
+                             dtype="float"))
+
     for n_len in ([1024] if quick else [256, 1024]):
         rows.append(dict(kind="scan", N=n_len, K=n_len // 2, C=0, L=4,
                          dtype="float"))
@@ -109,6 +122,17 @@ def enumerate_rows(quick: bool):
 
 def row_name(row):
     kind, n_len = row["kind"], row["N"]
+    suffix = ""
+    if row.get("ctor", "BB") != "BB":
+        suffix += f"_{row['ctor'].lower()}"
+    if kind in ("cascl", "fastssc") and row["K"] != n_len // 2:
+        suffix += f"_k{row['K']}"
+    if suffix:
+        base = (f"cascl_{row['dtype']}_n{n_len}" if kind == "cascl"
+                else f"fastssc_{row['dtype']}_n{n_len}")
+        if kind == "cascl":
+            base += f"_l{row['L']}"
+        return base + suffix
     if kind == "encode":
         if row["dtype"] == "pallas":
             return f"encode_pallas_n{n_len}_crc{row['C']}"
@@ -169,7 +193,7 @@ def run_row(row, batch_bits, out):
 
     if kind == "encode":
         det = make_detector(row["C"], "crc") if row["C"] else None
-        frozen = frozen_bits(n_len, k_len, 0.0)
+        frozen = frozen_bits(n_len, k_len, 0.0, row.get("ctor", "BB"))
         enc = PolarEncoder(
             n_len, frozen, systematic=True, detector=det,
             backend="pallas" if row["dtype"] == "pallas" else "xla",
@@ -178,7 +202,7 @@ def run_row(row, batch_bits, out):
         secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
         roof = roofline(lambda x: enc.encode(x), bits, seconds=secs)
     else:
-        frozen = frozen_bits(n_len, k_len, 0.0)
+        frozen = frozen_bits(n_len, k_len, 0.0, row.get("ctor", "BB"))
         dtype = (jnp.int8 if row["dtype"] in ("char", "pallas_char")
                  else jnp.float32)
         if kind in ("sc_scan", "cascl_scan"):
