@@ -218,30 +218,35 @@ class TestLargeSCL:
         from polar_codes_tpu.models.large import _NEG as _neg
 
         chunk, n_list = 32, 4
-        dec = LargeSCLDecoder(
-            chunk, frozen_bits(chunk, 20, 0.0), list_size=n_list,
-            chunk=chunk,
-        )
-        mask = np.zeros(chunk, bool)
-        mask[frozen_bits(chunk, 20, 0.0)] = True
-        llr = rng.normal(0, 2, (4, n_list, chunk)).astype(np.float32)
-        metrics = np.full((4, n_list), _neg, np.float32)
-        metrics[:, 0] = 0.0
-        fn = build_masked_scl_chunk_kernel(
-            chunk, n_list, batch_tile=4, interpret=True
-        )
-        b_k, p_k, m_k = fn(
-            jnp.asarray(llr), jnp.asarray(mask, jnp.float32),
-            jnp.asarray(metrics),
-        )
-        b_x, p_x, m_x = dec._chunk_scl(
-            jnp.asarray(llr), jnp.asarray(mask), jnp.asarray(metrics)
-        )
-        np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_x))
-        np.testing.assert_allclose(
-            np.asarray(m_k), np.asarray(m_x), atol=1e-5
-        )
-        np.testing.assert_array_equal(np.asarray(b_k), np.asarray(b_x))
+        for int8 in (False, True):
+            dec = LargeSCLDecoder(
+                chunk, frozen_bits(chunk, 20, 0.0), list_size=n_list,
+                chunk=chunk, dtype=jnp.int8 if int8 else jnp.float32,
+            )
+            mask = np.zeros(chunk, bool)
+            mask[frozen_bits(chunk, 20, 0.0)] = True
+            llr = rng.normal(0, 2, (4, n_list, chunk)).astype(np.float32)
+            if int8:
+                llr = np.clip(np.round(llr * 9), -127, 127).astype(
+                    np.float32
+                )
+            metrics = np.full((4, n_list), _neg, np.float32)
+            metrics[:, 0] = 0.0
+            fn = build_masked_scl_chunk_kernel(
+                chunk, n_list, int8=int8, batch_tile=4, interpret=True
+            )
+            b_k, p_k, m_k = fn(
+                jnp.asarray(llr), jnp.asarray(mask, jnp.float32),
+                jnp.asarray(metrics),
+            )
+            b_x, p_x, m_x = dec._chunk_scl(
+                jnp.asarray(llr), jnp.asarray(mask), jnp.asarray(metrics)
+            )
+            np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_x))
+            np.testing.assert_allclose(
+                np.asarray(m_k), np.asarray(m_x), atol=1e-5
+            )
+            np.testing.assert_array_equal(np.asarray(b_k), np.asarray(b_x))
 
     def test_pallas_scl_backend_end_to_end_interpret(self, rng, monkeypatch):
         """LargeSCLDecoder(backend='pallas') equals the XLA backend through
