@@ -59,7 +59,10 @@ def build_encode_kernel(n_len: int, frozen_mask, systematic: bool = True,
     ).copy()
 
     def kernel(u_ref, mask_ref, out_ref):
-        x = 1.0 - 2.0 * u_ref[...].astype(jnp.float32)  # [N, B] bipolar
+        # Mosaic has no direct uint8 -> f32 vector cast (fails on HW with
+        # "Unsupported cast"); widen through int32 first.
+        u = u_ref[...].astype(jnp.int32).astype(jnp.float32)
+        x = 1.0 - 2.0 * u  # [N, B] bipolar
         x = _stages(x, n_len)
         if systematic:
             x = jnp.where(mask_ref[...] > 0.0, 1.0, x)  # re-freeze

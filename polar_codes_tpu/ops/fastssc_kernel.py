@@ -63,17 +63,25 @@ class _Ops:
 
 
 def _leaf(node: CodeNode, llr, ops: _Ops):
-    """Fast-SSC leaf shortcuts on [span, B] state."""
+    """Fast-SSC leaf shortcuts on [span, B] state.
+
+    Leaves compute in float32 regardless of the state dtype: comparison
+    masks over bfloat16 vectors trip Mosaic relayout bugs on real HW
+    ("Invalid relayout ... vector<4x128xi1>" — interpret mode accepts
+    them), and every char value is an integer that f32 represents
+    exactly, so the result is value-identical."""
+    sdt = llr.dtype
+    llr = llr.astype(jnp.float32)
     kind = node.kind
     if kind == NodeKind.RATE0:
-        return jnp.ones_like(llr)
+        return jnp.ones(llr.shape, sdt)
     if kind == NodeKind.RATE1:
-        return ops.hard(llr)
+        return ops.hard(llr).astype(sdt)
     if kind == NodeKind.REP:
         # the rep sum does NOT saturate (fastssc int8 sums in int32);
         # f32 accumulation is exact for both families
-        s = jnp.sum(llr.astype(jnp.float32), axis=0, keepdims=True)
-        return jnp.broadcast_to(ops.hard(s).astype(llr.dtype), llr.shape)
+        s = jnp.sum(llr, axis=0, keepdims=True)
+        return jnp.broadcast_to(ops.hard(s), llr.shape).astype(sdt)
     # SPC: hard decisions, flip the weakest magnitude if parity is odd
     hard = ops.hard(llr)
     mag = jnp.abs(llr)
@@ -84,7 +92,7 @@ def _leaf(node: CodeNode, llr, ops: _Ops):
     span = mag.shape[0]
     weakest = jnp.min(jnp.where(mag == m[None, :], iota, span), axis=0)
     flip = (iota == weakest[None, :]) & parity_odd[None, :]
-    return hard * jnp.where(flip, -1.0, 1.0).astype(hard.dtype)
+    return (hard * jnp.where(flip, -1.0, 1.0)).astype(sdt)
 
 
 def _emit(node: CodeNode, llr, ops: _Ops):
@@ -129,8 +137,9 @@ def build_fs_hybrid_decode(decoder, batch_tile: int = 128,
         span = node.length
 
         def kernel(llr_ref, out_ref):
+            # signbit on bf16 vectors trips Mosaic on HW; f32 is exact
             out_ref[...] = jnp.signbit(
-                _emit(node, llr_ref[...], ops)
+                _emit(node, llr_ref[...], ops).astype(jnp.float32)
             ).astype(jnp.uint8)
 
         def kernel_bits(llr_ref, out_ref):

@@ -326,7 +326,7 @@ class _BlEmitter:
         # decision bits from static +-1 patterns: Pallas kernels cannot
         # capture array constants, so the pattern is rebuilt from iota
         # comparisons against the (static) negative positions
-        bits = jnp.ones(cand.shape[:1] + llr.shape[1:], self.sdt)
+        bits = jnp.ones(cand.shape[:1] + llr.shape[1:], llr.dtype)
         pos = _iota(bits.shape, 1)
         for c in range(n_cand):
             neg_positions = [s for s in range(span) if table[c, s] < 0]
@@ -340,7 +340,7 @@ class _BlEmitter:
 
     # -- recursion -----------------------------------------------------------
 
-    def node(self, node: CodeNode, llr, metrics):
+    def _leaf(self, node: CodeNode, llr, metrics):
         if node.kind == NodeKind.RATE0:
             return self.leaf_rate0(llr, metrics)
         if node.kind == NodeKind.RATE1:
@@ -349,11 +349,28 @@ class _BlEmitter:
             return self.leaf_enum(node, llr, metrics)
         if node.kind == NodeKind.REP:
             return self.leaf_rep(llr, metrics)
-        if node.kind == NodeKind.SPC:
-            return self.leaf_spc(llr, metrics)
+        return self.leaf_spc(llr, metrics)
+
+    def node(self, node: CodeNode, llr, metrics):
+        if node.kind != NodeKind.BRANCH:
+            if self.int8:
+                # char leaves compute in float32: the `llr < 0` comparison
+                # masks over bfloat16 vectors trip Mosaic relayout bugs on
+                # real HW ("Invalid relayout ... vector<...xi1>" —
+                # interpret mode accepts them), and every char value is an
+                # integer f32 represents exactly, so this is
+                # value-identical. The float/bf16 path stays in the state
+                # dtype: an explicit upcast lets XLA's excess-precision
+                # pass elide bf16 roundings of the upstream f/g chain,
+                # breaking bit parity with the XLA bf16 reference path.
+                bits, src, m = self._leaf(
+                    node, llr.astype(jnp.float32), metrics
+                )
+                return bits.astype(self.sdt), src, m
+            return self._leaf(node, llr, metrics)
         half = node.length // 2
         a, b = llr[:, :half, :], llr[:, half:, :]
-        left_bits, p_left, metrics = self.node(
+        left_bits, p_left, metrics = self.node(  # BRANCH recursion
             node.left, self.f_fn(a, b), metrics
         )
         if p_left is not None:
