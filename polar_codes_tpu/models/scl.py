@@ -858,12 +858,42 @@ class SCLDecoder:
             )
         return self._pallas_fn
 
+    def _syndrome_consts(self):
+        """Host-side constants for the bipolar syndrome-matmul CRC check.
+
+        The detector's GF(2) check `A @ info01 + g0 == 0 (mod 2)` is
+        lifted to the FULL systematic codeword: A_full[n, t] places A's
+        column for info bit j at codeword position info_pos[j] (zero rows
+        at frozen positions). With bipolar bits (x01 = (1-bip)/2) the
+        syndrome becomes ((colsum - A_full^T.bip)/2 + g0) mod 2 — one MXU
+        contraction over the kernel-native [L, N, B] layout, replacing the
+        info-position gather + [L,B,K] transpose + u8 cast of every path
+        (~0.1 ms at N=1024 L=8 B=1024; TPU gathers cost ~50-70 us each
+        regardless of payload)."""
+        if getattr(self, "_syn_cache", None) is None:
+            det = self.detector
+            d = self.info_length - det.tail_bits
+            G, g0 = det.affine_map(d)
+            A = np.concatenate(
+                [G, np.eye(det.tail_bits, dtype=np.uint8)], axis=1
+            )  # [tail, K]
+            a_full = np.zeros(
+                (self.block_length, det.tail_bits), dtype=np.float32
+            )
+            a_full[np.asarray(self.info_pos), :] = A.T.astype(np.float32)
+            self._syn_cache = (
+                jnp.asarray(a_full),
+                jnp.asarray(a_full.sum(axis=0) + 2.0 * g0, jnp.float32),
+            )
+        return self._syn_cache
+
     def _decode_pallas_fast(self, llr):
         """decode() in the kernel-native [L, N, B] layout: CRC-aided
-        selection reads the per-path codewords where they land, and only
-        the ONE selected codeword is relayouted to [B, N] — skipping the
-        [B, L, N] transpose + per-path gathers of the generic path
-        (~0.2 ms at N=1024 L=8 B=1024)."""
+        selection contracts the per-path bipolar bits where they land
+        (syndrome matmul, no gathers), and only the ONE selected codeword
+        is relayouted to [B, N] — skipping the [B, L, N] transpose +
+        per-path gathers of the generic path (~0.2 ms at N=1024 L=8
+        B=1024)."""
         fn = self._build_pallas()
         llr = jnp.asarray(llr, dtype=self.dtype)
         lead = llr.shape[:-1]
@@ -874,12 +904,31 @@ class SCLDecoder:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, self.block_length), flat.dtype)]
             )
-        cw, metrics = fn.raw(flat)  # [L, N, Bp] u8, [Bp, L] f32
+        bits, metrics = fn.raw_bits(flat)  # [L, N, Bp] bipolar, [Bp, L]
         n_list = self.list_size
-        info_pos = jnp.asarray(self.info_pos)
         active = metrics > _ACTIVE_THRESHOLD
-        if self.detector.tail_bits:
-            info_all = cw[:, info_pos, :].transpose(0, 2, 1)  # [L, B, K]
+        use_syndrome = self.detector.tail_bits and self.detector._is_linear()
+        if use_syndrome:
+            a_full, syn0 = self._syndrome_consts()
+            dot = jax.lax.dot_general(
+                bits,
+                a_full.astype(bits.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [L, Bp, tail] = sum_n bip[l,n,b] * A_full[n,t]
+            # syndrome_t = (colsum_t - dot_t)/2 + g0_t; even <=> CRC ok
+            syn = 0.5 * (syn0[None, None, :] - dot)
+            ok_all = jnp.all(jnp.mod(syn, 2.0) == 0.0, axis=-1).T & active
+            score = jnp.where(ok_all, metrics, _NEG)
+            best_ok = jnp.argmax(score, axis=-1)
+            best_ml = jnp.argmax(metrics, axis=-1)
+            any_ok = jnp.any(ok_all, axis=-1)
+            sel = jnp.where(any_ok, best_ok, best_ml)
+            detector_ok = any_ok
+        elif self.detector.tail_bits:  # non-affine detector (CMAC)
+            info_pos = jnp.asarray(self.info_pos)
+            cw_u8 = jnp.signbit(bits).astype(jnp.uint8)
+            info_all = cw_u8[:, info_pos, :].transpose(0, 2, 1)  # [L, B, K]
             ok_all = self.detector.check(info_all).T & active  # [Bp, L]
             score = jnp.where(ok_all, metrics, _NEG)
             best_ok = jnp.argmax(score, axis=-1)
@@ -890,14 +939,29 @@ class SCLDecoder:
         else:
             sel = jnp.argmax(metrics, axis=-1)
             detector_ok = jnp.ones(sel.shape, dtype=bool)
-        cw_sel = cw[0]  # [N, Bp]; select chain over the list axis
+        bits_sel = bits[0]  # [N, Bp]; select chain over the list axis
         for k in range(1, n_list):
-            cw_sel = jnp.where((sel == k)[None, :], cw[k], cw_sel)
-        codeword = cw_sel.T  # [Bp, N]
+            bits_sel = jnp.where((sel == k)[None, :], bits[k], bits_sel)
+        cw01 = jnp.signbit(bits_sel).astype(jnp.uint8)  # [N, Bp]
+        codeword = cw01.T  # [Bp, N]
+        # info extraction as a one-hot MXU contraction (axis gather of
+        # K static positions would lower to scalar index plumbing)
+        if getattr(self, "_info_sel_mat", None) is None:
+            m = np.zeros(
+                (self.block_length, self.info_length), np.float32
+            )
+            m[np.asarray(self.info_pos), np.arange(self.info_length)] = 1.0
+            self._info_sel_mat = jnp.asarray(m)
+        info = jax.lax.dot_general(
+            cw01.astype(jnp.float32),
+            self._info_sel_mat,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint8)  # [Bp, K]
         if pad:
             codeword = codeword[:n_batch]
+            info = info[:n_batch]
             detector_ok = detector_ok[:n_batch]
-        info = codeword[:, info_pos]
         return (
             info.reshape(lead + (self.info_length,)),
             codeword.reshape(lead + (self.block_length,)),

@@ -133,6 +133,28 @@ class _BlEmitter:
         self.int8 = bool(getattr(decoder, "_int8", False))
         if self.int8:
             self.f_fn, self.g_fn = f_minsum_sat, g_update_sat
+        elif self.sdt != jnp.float32:
+            # bf16 storage, f32 ALU: Mosaic crashes on jnp.sign (and
+            # bool-xor select rewrites) over bf16 vectors on real HW
+            # (profiling/bf16_probe.py: `fg`/`sign` FAIL, `fg_f32` ok).
+            # The state arrays — and the dominant select-chain/slice/
+            # concat traffic on them — stay two-per-word bf16; only the
+            # f/g arithmetic round-trips through f32, exactly like the
+            # saturating char ops.
+            sdt = self.sdt
+
+            def f_bf16(a, b):
+                return f_minsum(
+                    a.astype(jnp.float32), b.astype(jnp.float32)
+                ).astype(sdt)
+
+            def g_bf16(a, b, u):
+                return g_update(
+                    a.astype(jnp.float32), b.astype(jnp.float32),
+                    u.astype(jnp.float32),
+                ).astype(sdt)
+
+            self.f_fn, self.g_fn = f_bf16, g_bf16
         else:
             self.f_fn, self.g_fn = f_minsum, g_update
 
@@ -353,16 +375,19 @@ class _BlEmitter:
 
     def node(self, node: CodeNode, llr, metrics):
         if node.kind != NodeKind.BRANCH:
-            if self.int8:
-                # char leaves compute in float32: the `llr < 0` comparison
-                # masks over bfloat16 vectors trip Mosaic relayout bugs on
-                # real HW ("Invalid relayout ... vector<...xi1>" —
-                # interpret mode accepts them), and every char value is an
-                # integer f32 represents exactly, so this is
-                # value-identical. The float/bf16 path stays in the state
-                # dtype: an explicit upcast lets XLA's excess-precision
-                # pass elide bf16 roundings of the upstream f/g chain,
-                # breaking bit parity with the XLA bf16 reference path.
+            if self.sdt != jnp.float32:
+                # bf16-stored leaves compute in float32. Two reasons:
+                # Mosaic rejects several bf16 leaf patterns on real HW
+                # (sublane broadcast_in_dim in leaf_rep, `llr < 0` mask
+                # relayouts in char mode — interpret mode accepts both),
+                # and it is value-identical anyway: leaf math is
+                # sign/abs/compare/±1 products on the (already bf16-
+                # rounded) inputs, metric sums were f32 all along, and in
+                # char mode every value is an integer f32 represents
+                # exactly. Note the upcast lets XLA's excess-precision
+                # pass keep the upstream f/g chain unrounded on TPU, so
+                # compiled-vs-interpret bit parity can differ for near-tied
+                # paths; the f32-state kernel has no such caveat.
                 bits, src, m = self._leaf(
                     node, llr.astype(jnp.float32), metrics
                 )
@@ -564,11 +589,11 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
         return bits, perm, metrics
 
-    def run_raw(llr):
-        """llr [B, N] -> (codewords [L, N, B] u8 — the kernel-native
-        layout, NO relayout — and metrics [B, L]). Callers that can consume
-        the [L, N, B] layout (CRC-aided selection) avoid the ~0.1 ms
-        [B, L, N] transpose of all L paths."""
+    def run_raw_bits(llr):
+        """llr [B, N] -> (bipolar bits [L, N, B] in the state dtype — the
+        kernel-native layout with NO relayout and NO u8 conversion of all
+        L paths — and metrics [B, L]). Bipolar consumers (the syndrome-
+        matmul CRC selection) contract the list/span axes directly."""
         llr = llr.astype(state_dtype)
         n_batch = llr.shape[0]
         if n_batch % batch_tile:
@@ -578,20 +603,27 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         llr_l = llr.T[None, :, :]  # width 1: no [L, N, B] broadcast
         metrics = jnp.zeros((n_batch, 1), dtype=jnp.float32)
         bits, _, metrics = xla_node(decoder.tree, llr_l, metrics)
-        codewords = jnp.signbit(bits).astype(jnp.uint8)  # [w, N, B]
         width = metrics.shape[-1]
         if width < n_list:
             # degenerate tiny codes that never produce L candidates
             pad = n_list - width
-            codewords = jnp.concatenate(
-                [codewords,
-                 jnp.zeros((pad,) + codewords.shape[1:], codewords.dtype)],
+            bits = jnp.concatenate(
+                [bits, jnp.ones((pad,) + bits.shape[1:], bits.dtype)],
                 axis=0,
             )
             metrics = jnp.concatenate(
                 [metrics, jnp.full((n_batch, pad), _NEG, jnp.float32)],
                 axis=-1,
             )
+        return bits, metrics
+
+    def run_raw(llr):
+        """llr [B, N] -> (codewords [L, N, B] u8 — the kernel-native
+        layout, NO relayout — and metrics [B, L]). Callers that can consume
+        the [L, N, B] layout (CRC-aided selection) avoid the ~0.1 ms
+        [B, L, N] transpose of all L paths."""
+        bits, metrics = run_raw_bits(llr)
+        codewords = jnp.signbit(bits).astype(jnp.uint8)  # [w, N, B]
         return codewords, metrics
 
     def run(llr):
@@ -599,5 +631,6 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         return codewords.transpose(2, 0, 1), metrics
 
     run.raw = run_raw
+    run.raw_bits = run_raw_bits
     run.subtree_info = subtree_info
     return run

@@ -1,0 +1,171 @@
+"""Bisect which bf16 construct crashes Mosaic on real HW.
+
+The [L, span, B] SCL kernels compile and run in f32 but the bf16-state
+variant dies in the TPU compile helper (SIGABRT, no diagnostics — same
+signature as the r2 grid's cascl_pallas_char row). Each probe below
+compiles ONE construct from the kernel in bf16 and reports ok/fail, so
+the crash can be pinned and worked around.
+
+Usage: python profiling/bf16_probe.py [probe ...]
+"""
+import sys
+import functools
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W, S, B = 8, 256, 128
+    bf = jnp.bfloat16
+
+    def run(name, kernel, out_shape, *args):
+        try:
+            fn = pl.pallas_call(
+                kernel,
+                out_shape=out_shape,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+            r = jax.block_until_ready(jax.jit(fn)(*args))
+            print(f"{name}: ok {np.asarray(r).ravel()[:2]}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).split("\n")[0][:140]
+            print(f"{name}: FAIL {type(exc).__name__}: {msg}", flush=True)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 2, (W, S, B)), bf)
+    y = jnp.asarray(rng.normal(0, 2, (W, S, B)), bf)
+    src = jnp.asarray(rng.integers(0, W, (W, B)), jnp.int32)
+
+    def k_fg(x_ref, y_ref, o_ref):
+        a, b = x_ref[...], y_ref[...]
+        sign = jnp.sign(a) * jnp.sign(b)
+        f = sign * jnp.minimum(jnp.abs(a), jnp.abs(b))
+        o_ref[...] = b + f * a
+
+    def k_select(x_ref, s_ref, o_ref):
+        xv, sv = x_ref[...], s_ref[...]
+        out = jnp.broadcast_to(xv[0:1], xv.shape)
+        for k in range(1, W):
+            out = jnp.where((sv == k)[:, None, :], xv[k : k + 1], out)
+        o_ref[...] = out
+
+    def k_rep0(x_ref, o_ref):
+        xv = x_ref[...]
+        half = xv[: W // 2]
+        o_ref[...] = jnp.concatenate(
+            [half[k : k + 1] for k in range(W // 2) for _ in range(2)], 0
+        )
+
+    def k_narrow(x_ref, o_ref):
+        # deep-span slicing: bf16 sub-tile span slices 256->..->2
+        v = x_ref[...]
+        while v.shape[1] > 2:
+            h = v.shape[1] // 2
+            a, b = v[:, :h, :], v[:, h:, :]
+            sign = jnp.sign(a) * jnp.sign(b)
+            v = sign * jnp.minimum(jnp.abs(a), jnp.abs(b))
+        o_ref[...] = v
+
+    def k_leaf_f32(x_ref, o_ref):
+        # f32 leaf on bf16 state: upcast, hard-decision, downcast
+        v = x_ref[...].astype(jnp.float32)
+        hard = jnp.where(jnp.signbit(v), -1.0, 1.0).astype(jnp.float32)
+        o_ref[...] = hard.astype(bf)
+
+    def k_metric(x_ref, o_ref):
+        v = x_ref[...]
+        o_ref[...] = jnp.sum(
+            jnp.minimum(v, 0.0).astype(jnp.float32), axis=1
+        )
+
+    def k_transpose(x_ref, o_ref):
+        # metrics.T pattern on f32 is fine; probe the bf16 2-D transpose
+        o_ref[...] = x_ref[...].T
+
+
+    def k_sign(x_ref, y_ref, o_ref):
+        o_ref[...] = jnp.sign(x_ref[...]) * jnp.sign(y_ref[...])
+
+    def k_minabs(x_ref, y_ref, o_ref):
+        o_ref[...] = jnp.minimum(jnp.abs(x_ref[...]), jnp.abs(y_ref[...]))
+
+    def k_fg_f32(x_ref, y_ref, o_ref):
+        # bf16 storage, f32 ALU: upcast -> min-sum f + g -> downcast
+        a = x_ref[...].astype(jnp.float32)
+        b = y_ref[...].astype(jnp.float32)
+        sign = jnp.sign(a) * jnp.sign(b)
+        f = sign * jnp.minimum(jnp.abs(a), jnp.abs(b))
+        o_ref[...] = (b + f * a).astype(bf)
+
+    def k_fg_where(x_ref, y_ref, o_ref):
+        # sign-free bf16 formulation: compare-xor + negate
+        a, b = x_ref[...], y_ref[...]
+        m = jnp.minimum(jnp.abs(a), jnp.abs(b))
+        neg = (a < 0) != (b < 0)
+        f = jnp.where(neg, -m, m)
+        o_ref[...] = b + f * a
+
+    def k_narrow_f32(x_ref, o_ref):
+        # bf16 storage at narrowing spans, f32 ALU (the workaround shape)
+        v = x_ref[...]
+        while v.shape[1] > 2:
+            h = v.shape[1] // 2
+            a = v[:, :h, :].astype(jnp.float32)
+            b = v[:, h:, :].astype(jnp.float32)
+            sign = jnp.sign(a) * jnp.sign(b)
+            v = (sign * jnp.minimum(jnp.abs(a), jnp.abs(b))).astype(bf)
+        o_ref[...] = v
+
+    def k_combine_narrow(x_ref, o_ref):
+        # bf16 sublane-dim concats at sub-tile spans (the combine path)
+        v = x_ref[...][:, :2, :]  # [W, 2, B]
+        while v.shape[1] < S:
+            h = v.shape[1] // 2
+            left, right = v[:, :h, :], v[:, h:, :]
+            v = jnp.concatenate([left * right, right, v], axis=1)
+        o_ref[...] = v[:, :S, :]
+
+    probes = {
+        "fg": lambda: run("fg", k_fg,
+                          jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "select": lambda: run("select", k_select,
+                              jax.ShapeDtypeStruct((W, S, B), bf), x, src),
+        "rep0": lambda: run("rep0", k_rep0,
+                            jax.ShapeDtypeStruct((W, S, B), bf), x),
+        "narrow": lambda: run("narrow", k_narrow,
+                              jax.ShapeDtypeStruct((W, 2, B), bf), x),
+        "leaf_f32": lambda: run("leaf_f32", k_leaf_f32,
+                                jax.ShapeDtypeStruct((W, S, B), bf), x),
+        "metric": lambda: run("metric", k_metric,
+                              jax.ShapeDtypeStruct((W, B), jnp.float32), x),
+        "transpose": lambda: run(
+            "transpose", k_transpose,
+            jax.ShapeDtypeStruct((B, W), bf),
+            jnp.asarray(rng.normal(0, 1, (W, B)), bf)),
+        "sign": lambda: run("sign", k_sign,
+                            jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "minabs": lambda: run("minabs", k_minabs,
+                              jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "fg_f32": lambda: run("fg_f32", k_fg_f32,
+                              jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "fg_where": lambda: run("fg_where", k_fg_where,
+                                jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "narrow_f32": lambda: run("narrow_f32", k_narrow_f32,
+                                  jax.ShapeDtypeStruct((W, 2, B), bf), x),
+        "combine_narrow": lambda: run(
+            "combine_narrow", k_combine_narrow,
+            jax.ShapeDtypeStruct((W, S, B), bf), x),
+    }
+    names = sys.argv[1:] or list(probes)
+    for n in names:
+        probes[n]()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,15 +50,19 @@ def main():
         import jax.numpy as jnp
         variants = sys.argv[2:] or ["128x256"]
         for v in variants:
-            parts = v.split("x")
-            tile, span = int(parts[0]), int(parts[1])
-            dtype = jnp.bfloat16 if "bf16" in parts[2:] else jnp.float32
-            dec, llr, batch, k_len, det = setup(tile, span, dtype)
-            if dtype == jnp.bfloat16:
-                llr = llr.astype(jnp.bfloat16)
-            dt = tfn(lambda x: dec.decode(x)[1], llr)
-            mbps = batch * (k_len - det.tail_bits) / dt / 1e6
-            print(f"{v}: {dt*1e3:.3f} ms  {mbps:.0f} Mbit/s", flush=True)
+            try:
+                parts = v.split("x")
+                tile, span = int(parts[0]), int(parts[1])
+                dtype = jnp.bfloat16 if "bf16" in parts[2:] else jnp.float32
+                dec, llr, batch, k_len, det = setup(tile, span, dtype)
+                if dtype == jnp.bfloat16:
+                    llr = llr.astype(jnp.bfloat16)
+                dt = tfn(lambda x: dec.decode(x)[1], llr)
+                mbps = batch * (k_len - det.tail_bits) / dt / 1e6
+                print(f"{v}: {dt*1e3:.3f} ms  {mbps:.0f} Mbit/s", flush=True)
+            except Exception as exc:  # noqa: BLE001 - report and continue
+                print(f"{v}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:160]}", flush=True)
     elif mode == "split":
         import jax
         import jax.numpy as jnp
