@@ -63,6 +63,34 @@ def main():
             except Exception as exc:  # noqa: BLE001 - report and continue
                 print(f"{v}: FAILED {type(exc).__name__}: "
                       f"{str(exc)[:160]}", flush=True)
+    elif mode == "ksplit":
+        # compile each subtree kernel separately (dtype from argv[2]) to
+        # localize Mosaic failures that only the full pipeline shows
+        import jax
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if (len(sys.argv) > 2 and
+                                 sys.argv[2] == "bf16") else jnp.float32
+        dec, llr, batch, k_len, det = setup(dtype=dtype)
+        fn = dec._build_pallas()
+        import jax.tree_util  # noqa: F401
+        # trace only (no run) to populate subtree_info
+        jax.eval_shape(fn.raw, jax.ShapeDtypeStruct(llr.shape, dtype))
+        for i, (node, w_in, w_out, call) in enumerate(fn.subtree_info):
+            kinds = [leaf.kind.name for leaf in node.leaves()]
+            x = jnp.asarray(
+                np.random.default_rng(i).normal(
+                    0, 2, (w_in, node.length, batch)
+                ), dtype)
+            m = jnp.zeros((batch, w_in), jnp.float32)
+            try:
+                r = jax.block_until_ready(call(x, m)[2])
+                print(f"kernel {i}: span={node.length} w={w_in}->{w_out} "
+                      f"leaves={len(kinds)}: ok", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                from collections import Counter
+                print(f"kernel {i}: span={node.length} w={w_in}->{w_out} "
+                      f"{dict(Counter(kinds))}: FAIL "
+                      f"{type(exc).__name__}: {str(exc)[:120]}", flush=True)
     elif mode == "split":
         import jax
         import jax.numpy as jnp
