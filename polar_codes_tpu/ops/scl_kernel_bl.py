@@ -55,6 +55,23 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _f_minsum_bits(a, b):
+    """min-sum f on raw float32 bits: sign-XOR + magnitude-min.
+
+    This is the reference's own AVX formulation
+    (avx_float.h:55 `_mm256_polarf_ps`: and/xor/min on sign-masked
+    words), ~3 VPU ops cheaper than the jnp.sign product and identical
+    except at exact-zero inputs, where it propagates the XOR of the
+    sign bits (as the reference does) instead of sign(0)=0."""
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    bi = jax.lax.bitcast_convert_type(b, jnp.int32)
+    sign = (ai ^ bi) & jnp.int32(-2147483648)
+    mag = jnp.minimum(
+        ai & jnp.int32(0x7FFFFFFF), bi & jnp.int32(0x7FFFFFFF)
+    )
+    return jax.lax.bitcast_convert_type(sign | mag, jnp.float32)
+
+
 def _rep0(x, c):
     """jnp.repeat(x, c, axis=0) as a static concat of slices (Mosaic-safe).
 
@@ -148,15 +165,11 @@ class _BlEmitter:
                     a.astype(jnp.float32), b.astype(jnp.float32)
                 ).astype(sdt)
 
-            def g_bf16(a, b, u):
-                return g_update(
-                    a.astype(jnp.float32), b.astype(jnp.float32),
-                    u.astype(jnp.float32),
-                ).astype(sdt)
-
-            self.f_fn, self.g_fn = f_bf16, g_bf16
+            # g is mul+add only (b + u*a, u = ±1): pure bf16 is Mosaic-
+            # safe and matches the XLA bf16 path's own g rounding
+            self.f_fn, self.g_fn = f_bf16, g_update
         else:
-            self.f_fn, self.g_fn = f_minsum, g_update
+            self.f_fn, self.g_fn = _f_minsum_bits, g_update
 
     # -- pruning -------------------------------------------------------------
 
@@ -452,6 +465,14 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     n_len = decoder.block_length
     state_dtype = jnp.dtype(state_dtype)
     emitter = _BlEmitter(decoder, state_dtype)
+    # widening kernels (w_in < w_out) SIGABRT the Mosaic compiler under a
+    # bf16 state on real HW (profiling/kernel_profile.py ksplit: only the
+    # leftmost w=1->L kernel fails; every construct probe passes alone).
+    # Those kernels sit on the frozen-heavy prefix and cost ~5% of kernel
+    # time, so they simply run in f32; steady-width kernels keep the
+    # two-per-word bf16 state.
+    emitter_f32 = (emitter if state_dtype == jnp.float32
+                   else _BlEmitter(decoder, jnp.float32))
     subtree_cache = {}
     subtree_info = []  # (node, w_in, w_out, call) — profiling introspection
 
@@ -461,10 +482,12 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             return fn
         span = node.length
         w_out = _static_width(decoder, node, w_in)
+        kdt = state_dtype if w_in == w_out else jnp.float32
+        emit = emitter if kdt == state_dtype else emitter_f32
 
         def kernel(llr_ref, metrics_ref, bits_ref, perm_ref, out_met_ref):
             metrics = metrics_ref[...].T  # [w_in, B]
-            bits, perm, metrics = emitter.node(node, llr_ref[...], metrics)
+            bits, perm, metrics = emit.node(node, llr_ref[...], metrics)
             if perm is None:
                 perm = _iota((w_out, batch_tile), 0)
             elif isinstance(perm, tuple):
@@ -475,11 +498,12 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             out_met_ref[...] = metrics.T
 
         def call(llr, metrics):
-            """llr [w_in, span, B] f32, metrics [B, w_in] -> (bits
-            [w_out, span, B], perm [B, w_out], metrics [B, w_out])."""
+            """llr [w_in, span, B] state-dtype, metrics [B, w_in] ->
+            (bits [w_out, span, B] state-dtype, perm [B, w_out],
+            metrics [B, w_out])."""
             n_batch = llr.shape[-1]
             grid = (n_batch // batch_tile,)
-            return pl.pallas_call(
+            bits, perm, met = pl.pallas_call(
                 kernel,
                 grid=grid,
                 in_specs=[
@@ -499,12 +523,13 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((w_out, span, n_batch), state_dtype),
+                    jax.ShapeDtypeStruct((w_out, span, n_batch), kdt),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.int32),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.float32),
                 ],
                 interpret=interpret,
-            )(llr, metrics)
+            )(llr.astype(kdt), metrics)
+            return bits.astype(state_dtype), perm, met
 
         subtree_cache[(id(node), w_in)] = call
         subtree_info.append((node, w_in, w_out, call))

@@ -131,9 +131,42 @@ def main():
             v = jnp.concatenate([left * right, right, v], axis=1)
         o_ref[...] = v[:, :S, :]
 
+    def k_g_bf16(x_ref, y_ref, o_ref):
+        # g alone has no sign(): pure bf16 mul/add
+        a, b = x_ref[...], y_ref[...]
+        u = jnp.where((a * b) > 0, 1.0, -1.0).astype(bf)
+        o_ref[...] = b + u * a
+
+    def k_fg_bitcast(x_ref, y_ref, o_ref):
+        # f via int16 bitcast: sign-xor + magnitude-min on the raw bits
+        # (IEEE magnitudes compare monotonically as unsigned ints)
+        a, b = x_ref[...], y_ref[...]
+        ai = jax.lax.bitcast_convert_type(a, jnp.int16)
+        bi = jax.lax.bitcast_convert_type(b, jnp.int16)
+        s = (ai ^ bi) & jnp.int16(-32768)
+        m = jnp.minimum(ai & jnp.int16(0x7FFF), bi & jnp.int16(0x7FFF))
+        f = jax.lax.bitcast_convert_type(s | m, bf)
+        o_ref[...] = b + f * a
+
+    def k_fg_bitcast32(x_ref, y_ref, o_ref):
+        # f32 f via int32 bitcast (the reference's own AVX formulation,
+        # avx_float.h:55: sign-XOR + magnitude-min on raw bits) — saves
+        # the two jnp.sign chains if Mosaic takes i32 vector logicals
+        a = x_ref[...].astype(jnp.float32)
+        b = y_ref[...].astype(jnp.float32)
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+        bi = jax.lax.bitcast_convert_type(b, jnp.int32)
+        s = (ai ^ bi) & jnp.int32(-2147483648)
+        m = jnp.minimum(ai & jnp.int32(0x7FFFFFFF), bi & jnp.int32(0x7FFFFFFF))
+        f = jax.lax.bitcast_convert_type(s | m, jnp.float32)
+        o_ref[...] = (b + f * a).astype(bf)
+
     probes = {
         "fg": lambda: run("fg", k_fg,
                           jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "fg_bitcast32": lambda: run("fg_bitcast32", k_fg_bitcast32,
+                                    jax.ShapeDtypeStruct((W, S, B), bf),
+                                    x, y),
         "select": lambda: run("select", k_select,
                               jax.ShapeDtypeStruct((W, S, B), bf), x, src),
         "rep0": lambda: run("rep0", k_rep0,
@@ -161,6 +194,10 @@ def main():
         "combine_narrow": lambda: run(
             "combine_narrow", k_combine_narrow,
             jax.ShapeDtypeStruct((W, S, B), bf), x),
+        "g_bf16": lambda: run("g_bf16", k_g_bf16,
+                              jax.ShapeDtypeStruct((W, S, B), bf), x, y),
+        "fg_bitcast": lambda: run("fg_bitcast", k_fg_bitcast,
+                                  jax.ShapeDtypeStruct((W, S, B), bf), x, y),
     }
     names = sys.argv[1:] or list(probes)
     for n in names:

@@ -53,10 +53,18 @@ def main():
             try:
                 parts = v.split("x")
                 tile, span = int(parts[0]), int(parts[1])
-                dtype = jnp.bfloat16 if "bf16" in parts[2:] else jnp.float32
+                dtype = jnp.float32
+                if "bf16" in parts[2:]:
+                    dtype = jnp.bfloat16
+                elif "char" in parts[2:]:
+                    dtype = jnp.int8
                 dec, llr, batch, k_len, det = setup(tile, span, dtype)
                 if dtype == jnp.bfloat16:
                     llr = llr.astype(jnp.bfloat16)
+                elif dtype == jnp.int8:
+                    import numpy as _np
+                    llr = jnp.asarray(_np.clip(_np.round(
+                        _np.asarray(llr) * 8.0), -127, 127).astype(_np.int8))
                 dt = tfn(lambda x: dec.decode(x)[1], llr)
                 mbps = batch * (k_len - det.tail_bits) / dt / 1e6
                 print(f"{v}: {dt*1e3:.3f} ms  {mbps:.0f} Mbit/s", flush=True)
