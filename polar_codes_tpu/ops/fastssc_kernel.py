@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fg import f_minsum, g_update, f_minsum_sat, g_update_sat
+from .fg import f_minsum_bits, g_update, f_minsum_sat, g_update_sat
 from ..models.tree import CodeNode, NodeKind
 
 
@@ -57,7 +57,10 @@ class _Ops:
             self.hard = _hard_char
             self.zero_r = lambda a, b: g_update_sat(a, b, jnp.ones_like(a))
         else:
-            self.f_fn, self.g_fn = f_minsum, g_update
+            # bitcast f: the reference's sign-XOR formulation, cheaper
+            # in-kernel (see fg.f_minsum_bits; zero-LLR caveat does not
+            # apply to channel-LLR trees)
+            self.f_fn, self.g_fn = f_minsum_bits, g_update
             self.hard = _hard_sign
             self.zero_r = _zero_r
 

@@ -27,6 +27,27 @@ def g_update(a, b, left_bipolar):
     return b + left_bipolar * a
 
 
+def f_minsum_bits(a, b):
+    """min-sum f on raw float32 bits: sign-XOR + magnitude-min.
+
+    The reference's own AVX formulation (avx_float.h:55
+    `_mm256_polarf_ps`: and/xor/min on sign-masked words) — ~3 VPU ops
+    cheaper than the jnp.sign product inside Pallas kernels. Identical
+    to f_minsum except at exact-zero inputs, where it propagates the
+    XOR of the sign bits (like the reference) instead of sign(0)=0;
+    only safe where exact zeros cannot occur (channel LLR trees — NOT
+    the SCAN beta memory, which initializes to zeros)."""
+    import jax
+
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    bi = jax.lax.bitcast_convert_type(b, jnp.int32)
+    sign = (ai ^ bi) & jnp.int32(-2147483648)
+    mag = jnp.minimum(
+        ai & jnp.int32(0x7FFFFFFF), bi & jnp.int32(0x7FFFFFFF)
+    )
+    return jax.lax.bitcast_convert_type(sign | mag, jnp.float32)
+
+
 def combine_bipolar(left, right):
     """Combine: left' = left XOR right in bipolar form = left*right (avx_float.h:190)."""
     return left * right

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fg import f_minsum, g_update, f_minsum_sat, g_update_sat
+from .fg import f_minsum_bits as _f_minsum_bits
 from ..models.tree import CodeNode, NodeKind
 from ..models.scl import (
     _SPC_FLIPS_EVEN,
@@ -53,23 +54,6 @@ from ..models.scl import (
 
 def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
-
-
-def _f_minsum_bits(a, b):
-    """min-sum f on raw float32 bits: sign-XOR + magnitude-min.
-
-    This is the reference's own AVX formulation
-    (avx_float.h:55 `_mm256_polarf_ps`: and/xor/min on sign-masked
-    words), ~3 VPU ops cheaper than the jnp.sign product and identical
-    except at exact-zero inputs, where it propagates the XOR of the
-    sign bits (as the reference does) instead of sign(0)=0."""
-    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
-    bi = jax.lax.bitcast_convert_type(b, jnp.int32)
-    sign = (ai ^ bi) & jnp.int32(-2147483648)
-    mag = jnp.minimum(
-        ai & jnp.int32(0x7FFFFFFF), bi & jnp.int32(0x7FFFFFFF)
-    )
-    return jax.lax.bitcast_convert_type(sign | mag, jnp.float32)
 
 
 def _rep0(x, c):

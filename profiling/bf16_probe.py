@@ -161,7 +161,89 @@ def main():
         f = jax.lax.bitcast_convert_type(s | m, jnp.float32)
         o_ref[...] = (b + f * a).astype(bf)
 
+    xu8 = jnp.asarray(rng.integers(0, 2, (W, S, B)), jnp.uint8)
+
+    def k_select_u8(x_ref, s_ref, o_ref):
+        # u8 bits state: select chain at 1/4 the f32 vreg traffic
+        xv, sv = x_ref[...], s_ref[...]
+        out = jnp.broadcast_to(xv[0:1], xv.shape)
+        for k in range(1, W):
+            out = jnp.where((sv == k)[:, None, :], xv[k : k + 1], out)
+        o_ref[...] = out
+
+    def k_xor_u8_narrow(x_ref, o_ref):
+        # combine as u8 XOR with narrow-span slicing/concat
+        v = x_ref[...][:, :2, :]
+        while v.shape[1] < S:
+            h = v.shape[1] // 2
+            left, right = v[:, :h, :], v[:, h:, :]
+            v = jnp.concatenate([left ^ right, right, v], axis=1)
+        o_ref[...] = v[:, :S, :]
+
+    def k_u8_to_bipolar(x_ref, y_ref, o_ref):
+        # g from u8 bits: convert to ±1 f32 then fma
+        bits = x_ref[...]
+        a = y_ref[...].astype(jnp.float32)
+        u = 1.0 - 2.0 * bits.astype(jnp.float32)
+        o_ref[...] = a + u * a
+
+    def k_g_mask_u8(x_ref, y_ref, o_ref):
+        # g via select on a u8-compare mask over f32 operands (risky:
+        # i1 relayout between (32,128) u8 and (8,128) f32 tilings)
+        bits = x_ref[...]
+        a = y_ref[...].astype(jnp.float32)
+        o_ref[...] = jnp.where(bits == 1, a + a, a - a)
+
+    xi8 = jnp.asarray(
+        1 - 2 * rng.integers(0, 2, (W, S, B)), jnp.int8
+    )  # bipolar ±1 int8 bits
+
+    def k_i8_roundtrip(x_ref, y_ref, o_ref):
+        # bits as ±1 int8: cast to f32 for g, f32 hard back to int8
+        u = x_ref[...].astype(jnp.float32)
+        a = y_ref[...].astype(jnp.float32)
+        g = a + u * a
+        hard = jnp.where(jnp.signbit(g), -1, 1).astype(jnp.int8)
+        o_ref[...] = hard
+
+    def k_i8_combine_narrow(x_ref, o_ref):
+        # combine = ±1 product in int8, narrow-span slicing/concat
+        v = x_ref[...][:, :2, :]
+        while v.shape[1] < S:
+            h = v.shape[1] // 2
+            left, right = v[:, :h, :], v[:, h:, :]
+            v = jnp.concatenate([left * right, right, v], axis=1)
+        o_ref[...] = v[:, :S, :]
+
+    def k_select_i8(x_ref, s_ref, o_ref):
+        xv, sv = x_ref[...], s_ref[...]
+        out = jnp.broadcast_to(xv[0:1], xv.shape)
+        for k in range(1, W):
+            out = jnp.where((sv == k)[:, None, :], xv[k : k + 1], out)
+        o_ref[...] = out
+
     probes = {
+        "i8_roundtrip": lambda: run(
+            "i8_roundtrip", k_i8_roundtrip,
+            jax.ShapeDtypeStruct((W, S, B), jnp.int8), xi8, x),
+        "i8_combine_narrow": lambda: run(
+            "i8_combine_narrow", k_i8_combine_narrow,
+            jax.ShapeDtypeStruct((W, S, B), jnp.int8), xi8),
+        "select_i8": lambda: run(
+            "select_i8", k_select_i8,
+            jax.ShapeDtypeStruct((W, S, B), jnp.int8), xi8, src),
+        "select_u8": lambda: run(
+            "select_u8", k_select_u8,
+            jax.ShapeDtypeStruct((W, S, B), jnp.uint8), xu8, src),
+        "xor_u8_narrow": lambda: run(
+            "xor_u8_narrow", k_xor_u8_narrow,
+            jax.ShapeDtypeStruct((W, S, B), jnp.uint8), xu8),
+        "u8_to_bipolar": lambda: run(
+            "u8_to_bipolar", k_u8_to_bipolar,
+            jax.ShapeDtypeStruct((W, S, B), jnp.float32), xu8, x),
+        "g_mask_u8": lambda: run(
+            "g_mask_u8", k_g_mask_u8,
+            jax.ShapeDtypeStruct((W, S, B), jnp.float32), xu8, x),
         "fg": lambda: run("fg", k_fg,
                           jax.ShapeDtypeStruct((W, S, B), bf), x, y),
         "fg_bitcast32": lambda: run("fg_bitcast32", k_fg_bitcast32,
