@@ -878,12 +878,12 @@ class SCLDecoder:
                 [G, np.eye(det.tail_bits, dtype=np.uint8)], axis=1
             )  # [tail, K]
             a_full = np.zeros(
-                (self.block_length, det.tail_bits), dtype=np.float32
+                (self.block_length, det.tail_bits), dtype=np.int8
             )
-            a_full[np.asarray(self.info_pos), :] = A.T.astype(np.float32)
+            a_full[np.asarray(self.info_pos), :] = A.T.astype(np.int8)
             self._syn_cache = (
                 jnp.asarray(a_full),
-                jnp.asarray(a_full.sum(axis=0) + 2.0 * g0, jnp.float32),
+                jnp.asarray(g0, jnp.int32),
             )
         return self._syn_cache
 
@@ -904,21 +904,20 @@ class SCLDecoder:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, self.block_length), flat.dtype)]
             )
-        bits, metrics = fn.raw_bits(flat)  # [L, N, Bp] bipolar, [Bp, L]
+        bits, metrics = fn.raw_bits(flat)  # [L, N, Bp] {0,1} int8, [Bp, L]
         n_list = self.list_size
         active = metrics > _ACTIVE_THRESHOLD
         use_syndrome = self.detector.tail_bits and self.detector._is_linear()
         if use_syndrome:
-            a_full, syn0 = self._syndrome_consts()
+            a_full, g0 = self._syndrome_consts()
             dot = jax.lax.dot_general(
                 bits,
-                a_full.astype(bits.dtype),
+                a_full,
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [L, Bp, tail] = sum_n bip[l,n,b] * A_full[n,t]
-            # syndrome_t = (colsum_t - dot_t)/2 + g0_t; even <=> CRC ok
-            syn = 0.5 * (syn0[None, None, :] - dot)
-            ok_all = jnp.all(jnp.mod(syn, 2.0) == 0.0, axis=-1).T & active
+                preferred_element_type=jnp.int32,
+            )  # [L, Bp, tail] int32 = sum_n x01[l,n,b] * A_full[n,t]
+            syn = (dot + g0[None, None, :]) % 2  # == 0 <=> CRC ok
+            ok_all = jnp.all(syn == 0, axis=-1).T & active
             score = jnp.where(ok_all, metrics, _NEG)
             best_ok = jnp.argmax(score, axis=-1)
             best_ml = jnp.argmax(metrics, axis=-1)
@@ -927,7 +926,7 @@ class SCLDecoder:
             detector_ok = any_ok
         elif self.detector.tail_bits:  # non-affine detector (CMAC)
             info_pos = jnp.asarray(self.info_pos)
-            cw_u8 = jnp.signbit(bits).astype(jnp.uint8)
+            cw_u8 = bits.astype(jnp.uint8)
             info_all = cw_u8[:, info_pos, :].transpose(0, 2, 1)  # [L, B, K]
             ok_all = self.detector.check(info_all).T & active  # [Bp, L]
             score = jnp.where(ok_all, metrics, _NEG)
@@ -939,24 +938,21 @@ class SCLDecoder:
         else:
             sel = jnp.argmax(metrics, axis=-1)
             detector_ok = jnp.ones(sel.shape, dtype=bool)
-        bits_sel = bits[0]  # [N, Bp]; select chain over the list axis
+        bits_sel = bits[0]  # [N, Bp] int8; select chain over the list axis
         for k in range(1, n_list):
             bits_sel = jnp.where((sel == k)[None, :], bits[k], bits_sel)
-        cw01 = jnp.signbit(bits_sel).astype(jnp.uint8)  # [N, Bp]
-        codeword = cw01.T  # [Bp, N]
+        codeword = bits_sel.T.astype(jnp.uint8)  # [Bp, N]
         # info extraction as a one-hot MXU contraction (axis gather of
         # K static positions would lower to scalar index plumbing)
         if getattr(self, "_info_sel_mat", None) is None:
-            m = np.zeros(
-                (self.block_length, self.info_length), np.float32
-            )
-            m[np.asarray(self.info_pos), np.arange(self.info_length)] = 1.0
+            m = np.zeros((self.block_length, self.info_length), np.int8)
+            m[np.asarray(self.info_pos), np.arange(self.info_length)] = 1
             self._info_sel_mat = jnp.asarray(m)
         info = jax.lax.dot_general(
-            cw01.astype(jnp.float32),
+            bits_sel,
             self._info_sel_mat,
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         ).astype(jnp.uint8)  # [Bp, K]
         if pad:
             codeword = codeword[:n_batch]

@@ -30,6 +30,15 @@ models/scl.py (flat l*C+c candidate codes extracted iteratively match
 lax.top_k's stable order). Interpret mode matches the XLA batch_last path
 bit-for-bit; compiled on TPU, float reassociation can perturb metrics at
 ~1e-7 relative, which only matters for exactly-tied paths.
+
+State layout: LLRs in the requested state dtype (f32 default; bf16
+measured slower — see PERF.md), decision bits as {0,1} int8 everywhere —
+1/4 the f32 vreg/HBM traffic on the path-fork select chains, the combine
+concats (XOR), and the downstream CRC selection, at the cost of one
+int8→f32 convert+fma per g call. Mosaic constraints that shaped this
+(profiling/bf16_probe.py): bipolar ±1 int8 products crash at narrow
+spans, u8→f32 casts are unsupported, XOR and int8 selects/casts are
+clean.
 """
 
 from __future__ import annotations
@@ -132,8 +141,21 @@ class _BlEmitter:
         # in [-254, 254], exact in bf16, so the packed state keeps exact
         # fip_char value parity
         self.int8 = bool(getattr(decoder, "_int8", False))
+        # decision bits live as {0,1} int8 at spans >= 32 (the int8
+        # sublane tile): 1/4 the vreg traffic of f32 on the path-fork
+        # select chains, combine concats (XOR), and the downstream CRC
+        # selection. Below span 32 they stay bipolar in the state dtype —
+        # Mosaic rejects int8 selects at sub-tile spans ("Invalid
+        # relayout ... vector<8x16x128xi1>: (8,128) -> (32,128)") and the
+        # narrow levels are cheap anyway. g converts an int8 bits operand
+        # to ±1 (one convert+fma over the half-span — far cheaper than
+        # the select passes the int8 state saves).
         if self.int8:
-            self.f_fn, self.g_fn = f_minsum_sat, g_update_sat
+            def g01_sat(a, b, bits):
+                u = self._g_bipolar(bits, a.dtype)
+                return g_update_sat(a, b, u)
+
+            self.f_fn, self.g_fn = f_minsum_sat, g01_sat
         elif self.sdt != jnp.float32:
             # bf16 storage, f32 ALU: Mosaic crashes on jnp.sign (and
             # bool-xor select rewrites) over bf16 vectors on real HW
@@ -151,9 +173,37 @@ class _BlEmitter:
 
             # g is mul+add only (b + u*a, u = ±1): pure bf16 is Mosaic-
             # safe and matches the XLA bf16 path's own g rounding
-            self.f_fn, self.g_fn = f_bf16, g_update
+            def g01_bf16(a, b, bits):
+                return g_update(a, b, self._g_bipolar(bits, a.dtype))
+
+            self.f_fn, self.g_fn = f_bf16, g01_bf16
         else:
-            self.f_fn, self.g_fn = _f_minsum_bits, g_update
+            def g01_f32(a, b, bits):
+                return g_update(a, b, self._g_bipolar(bits, a.dtype))
+
+            self.f_fn, self.g_fn = _f_minsum_bits, g01_f32
+
+    # {0,1} int8 <-> bipolar state-dtype bridges (span >= 32 only)
+    _BITS_I8_SPAN = 32
+
+    @staticmethod
+    def _g_bipolar(bits, dtype):
+        """g's bits operand as bipolar ±1 in the LLR dtype: identity for
+        narrow (bipolar state-dtype) bits, convert+fma for int8 {0,1}."""
+        if bits.dtype != jnp.int8:
+            return bits.astype(dtype)
+        u = 1.0 - 2.0 * bits.astype(jnp.float32)
+        return u.astype(dtype)
+
+    @staticmethod
+    def _to01(bits_bip):
+        """Bipolar ±1 (f32/bf16) -> {0,1} int8. The select runs in i32
+        (mask and operands share the (8,128) tiling) and casts down —
+        the Mosaic-clean pattern (probe i8_g)."""
+        work = bits_bip
+        if work.dtype != jnp.float32:
+            work = work.astype(jnp.float32)
+        return jnp.where(work < 0, 1, 0).astype(jnp.int8)
 
     # -- pruning -------------------------------------------------------------
 
@@ -372,24 +422,24 @@ class _BlEmitter:
 
     def node(self, node: CodeNode, llr, metrics):
         if node.kind != NodeKind.BRANCH:
-            if self.sdt != jnp.float32:
-                # bf16-stored leaves compute in float32. Two reasons:
-                # Mosaic rejects several bf16 leaf patterns on real HW
-                # (sublane broadcast_in_dim in leaf_rep, `llr < 0` mask
-                # relayouts in char mode — interpret mode accepts both),
-                # and it is value-identical anyway: leaf math is
-                # sign/abs/compare/±1 products on the (already bf16-
-                # rounded) inputs, metric sums were f32 all along, and in
-                # char mode every value is an integer f32 represents
-                # exactly. Note the upcast lets XLA's excess-precision
-                # pass keep the upstream f/g chain unrounded on TPU, so
-                # compiled-vs-interpret bit parity can differ for near-tied
-                # paths; the f32-state kernel has no such caveat.
-                bits, src, m = self._leaf(
-                    node, llr.astype(jnp.float32), metrics
-                )
-                return bits.astype(self.sdt), src, m
-            return self._leaf(node, llr, metrics)
+            # leaves compute in float32 regardless of the state dtype:
+            # Mosaic rejects several bf16 leaf patterns on real HW
+            # (sublane broadcast_in_dim in leaf_rep, `llr < 0` mask
+            # relayouts in char mode — interpret mode accepts both), and
+            # it is value-identical anyway: leaf math is
+            # sign/abs/compare/±1 products on the (already rounded)
+            # inputs and metric sums were f32 all along. The bipolar f32
+            # decision bits convert ONCE at leaf exit to the {0,1} int8
+            # bit state (for bf16 state this upcast lets XLA's excess-
+            # precision pass keep the upstream f/g chain unrounded on
+            # TPU, so compiled-vs-interpret bit parity can differ for
+            # near-tied paths; f32 state has no such caveat).
+            bits, src, m = self._leaf(
+                node,
+                llr if self.sdt == jnp.float32 else llr.astype(jnp.float32),
+                metrics,
+            )
+            return bits.astype(self.sdt), src, m
         half = node.length // 2
         a, b = llr[:, :half, :], llr[:, half:, :]
         left_bits, p_left, metrics = self.node(  # BRANCH recursion
@@ -468,6 +518,9 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         w_out = _static_width(decoder, node, w_in)
         kdt = state_dtype if w_in == w_out else jnp.float32
         emit = emitter if kdt == state_dtype else emitter_f32
+        # bits dtype a kernel of this span emits (int8 at >= 32, else the
+        # emitter's state dtype — see _BlEmitter._BITS_I8_SPAN)
+        bdt = jnp.int8 if span >= _BlEmitter._BITS_I8_SPAN else kdt
 
         def kernel(llr_ref, metrics_ref, bits_ref, perm_ref, out_met_ref):
             metrics = metrics_ref[...].T  # [w_in, B]
@@ -477,13 +530,22 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             elif isinstance(perm, tuple):
                 # pure widening inside this subtree: slot j sourced j // c
                 perm = _iota((w_out, batch_tile), 0) // perm[1]
-            bits_ref[...] = bits
+            if bdt == jnp.int8:
+                # ONE bipolar->{0,1}-int8 pass at the kernel boundary:
+                # the glue gathers/combines and the CRC selection then
+                # run at 1/4 the f32 HBM/vreg traffic. In-kernel int8
+                # bit state SIGABRTs the Mosaic compiler (as does full
+                # bf16); the boundary convert is the Mosaic-clean probe
+                # pattern (profiling/bf16_probe.py i8_g).
+                bits_ref[...] = _BlEmitter._to01(bits)
+            else:
+                bits_ref[...] = bits
             perm_ref[...] = perm.T
             out_met_ref[...] = metrics.T
 
         def call(llr, metrics):
             """llr [w_in, span, B] state-dtype, metrics [B, w_in] ->
-            (bits [w_out, span, B] state-dtype, perm [B, w_out],
+            (bits [w_out, span, B] {0,1} int8, perm [B, w_out],
             metrics [B, w_out])."""
             n_batch = llr.shape[-1]
             grid = (n_batch // batch_tile,)
@@ -507,13 +569,15 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((w_out, span, n_batch), kdt),
+                    jax.ShapeDtypeStruct((w_out, span, n_batch), bdt),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.int32),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.float32),
                 ],
                 interpret=interpret,
             )(llr.astype(kdt), metrics)
-            return bits.astype(state_dtype), perm, met
+            if bdt != jnp.int8 and bdt != state_dtype:
+                bits = bits.astype(state_dtype)  # narrow widening kernel
+            return bits, perm, met
 
         subtree_cache[(id(node), w_in)] = call
         subtree_info.append((node, w_in, w_out, call))
@@ -569,7 +633,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             return subtree_call(node, llr.shape[0])(llr, metrics)
         if node.kind != NodeKind.BRANCH:
             # rare leaf above kernel_span: the decoder's full-width _bl_leaf
-            # machinery is float32 — cast around it
+            # machinery is float32 bipolar — cast around it
             llr, metrics = widen_full(llr, metrics)
             llr = llr.astype(jnp.float32)
             if node.kind == NodeKind.ENUM:
@@ -580,7 +644,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                 bits, perm, metrics = getattr(
                     decoder, f"_bl_leaf_{node.kind.name.lower()}"
                 )(llr, metrics)
-            return bits.astype(state_dtype), perm, metrics
+            return _BlEmitter._to01(bits), perm, metrics
         half = node.length // 2
         a, b = llr[:, :half], llr[:, half:]
         left_bits, p_left, metrics = xla_node(
@@ -595,14 +659,23 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         if p_right is not None:
             left_bits = glue_take(left_bits, p_right)
         perm = glue_compose(p_left, p_right)
-        bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
+        if left_bits.dtype == jnp.int8:
+            bits = jnp.concatenate(
+                [left_bits ^ right_bits, right_bits], axis=1
+            )
+        else:  # sub-32-span glue (tiny test configs only)
+            bits = jnp.concatenate(
+                [left_bits * right_bits, right_bits], axis=1
+            )
+            if node.length >= _BlEmitter._BITS_I8_SPAN:
+                bits = _BlEmitter._to01(bits)
         return bits, perm, metrics
 
     def run_raw_bits(llr):
-        """llr [B, N] -> (bipolar bits [L, N, B] in the state dtype — the
-        kernel-native layout with NO relayout and NO u8 conversion of all
-        L paths — and metrics [B, L]). Bipolar consumers (the syndrome-
-        matmul CRC selection) contract the list/span axes directly."""
+        """llr [B, N] -> (codeword bits [L, N, B] {0,1} int8 — the
+        kernel-native layout with NO relayout, at 1/4 the f32 HBM
+        traffic — and metrics [B, L]). The syndrome-matmul CRC selection
+        contracts the list/span axes directly."""
         llr = llr.astype(state_dtype)
         n_batch = llr.shape[0]
         if n_batch % batch_tile:
@@ -612,12 +685,14 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         llr_l = llr.T[None, :, :]  # width 1: no [L, N, B] broadcast
         metrics = jnp.zeros((n_batch, 1), dtype=jnp.float32)
         bits, _, metrics = xla_node(decoder.tree, llr_l, metrics)
+        if bits.dtype != jnp.int8:  # N < 32 (tiny test codes)
+            bits = _BlEmitter._to01(bits)
         width = metrics.shape[-1]
         if width < n_list:
             # degenerate tiny codes that never produce L candidates
             pad = n_list - width
             bits = jnp.concatenate(
-                [bits, jnp.ones((pad,) + bits.shape[1:], bits.dtype)],
+                [bits, jnp.zeros((pad,) + bits.shape[1:], bits.dtype)],
                 axis=0,
             )
             metrics = jnp.concatenate(
@@ -632,7 +707,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         the [L, N, B] layout (CRC-aided selection) avoid the ~0.1 ms
         [B, L, N] transpose of all L paths."""
         bits, metrics = run_raw_bits(llr)
-        codewords = jnp.signbit(bits).astype(jnp.uint8)  # [w, N, B]
+        codewords = bits.astype(jnp.uint8)  # [w, N, B] {0,1}
         return codewords, metrics
 
     def run(llr):

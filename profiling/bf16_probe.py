@@ -222,7 +222,32 @@ def main():
             out = jnp.where((sv == k)[:, None, :], xv[k : k + 1], out)
         o_ref[...] = out
 
+    xi01 = jnp.asarray(rng.integers(0, 2, (W, S, B)), jnp.int8)
+
+    def k_i8_xor_narrow(x_ref, o_ref):
+        # bits as {0,1} int8: combine = XOR, narrow-span slicing/concat
+        v = x_ref[...][:, :2, :]
+        while v.shape[1] < S:
+            h = v.shape[1] // 2
+            left, right = v[:, :h, :], v[:, h:, :]
+            v = jnp.concatenate([left ^ right, right, v], axis=1)
+        o_ref[...] = v[:, :S, :]
+
+    def k_i8_g(x_ref, y_ref, o_ref):
+        # g from {0,1} int8 bits: u = 1-2b in f32, then fma + hard back
+        bits = x_ref[...]
+        a = y_ref[...].astype(jnp.float32)
+        u = 1.0 - 2.0 * bits.astype(jnp.float32)
+        g = a + u * a
+        o_ref[...] = jnp.where(jnp.signbit(g), 1, 0).astype(jnp.int8)
+
     probes = {
+        "i8_xor_narrow": lambda: run(
+            "i8_xor_narrow", k_i8_xor_narrow,
+            jax.ShapeDtypeStruct((W, S, B), jnp.int8), xi01),
+        "i8_g": lambda: run(
+            "i8_g", k_i8_g,
+            jax.ShapeDtypeStruct((W, S, B), jnp.int8), xi01, x),
         "i8_roundtrip": lambda: run(
             "i8_roundtrip", k_i8_roundtrip,
             jax.ShapeDtypeStruct((W, S, B), jnp.int8), xi8, x),
