@@ -859,17 +859,17 @@ class SCLDecoder:
         return self._pallas_fn
 
     def _syndrome_consts(self):
-        """Host-side constants for the bipolar syndrome-matmul CRC check.
+        """Host-side constants for the syndrome-matmul CRC check.
 
         The detector's GF(2) check `A @ info01 + g0 == 0 (mod 2)` is
         lifted to the FULL systematic codeword: A_full[n, t] places A's
         column for info bit j at codeword position info_pos[j] (zero rows
-        at frozen positions). With bipolar bits (x01 = (1-bip)/2) the
-        syndrome becomes ((colsum - A_full^T.bip)/2 + g0) mod 2 — one MXU
-        contraction over the kernel-native [L, N, B] layout, replacing the
-        info-position gather + [L,B,K] transpose + u8 cast of every path
-        (~0.1 ms at N=1024 L=8 B=1024; TPU gathers cost ~50-70 us each
-        regardless of payload)."""
+        at frozen positions). On the kernel's {0,1} int8 bits the syndrome
+        is (A_full^T @ x01 + g0) mod 2 — one MXU contraction over the
+        kernel-native [L, N, B] layout, replacing the info-position
+        gather + [L,B,K] transpose + u8 cast of every path (~0.1 ms at
+        N=1024 L=8 B=1024; TPU gathers cost ~50-70 us each regardless of
+        payload)."""
         if getattr(self, "_syn_cache", None) is None:
             det = self.detector
             d = self.info_length - det.tail_bits
@@ -889,7 +889,7 @@ class SCLDecoder:
 
     def _decode_pallas_fast(self, llr):
         """decode() in the kernel-native [L, N, B] layout: CRC-aided
-        selection contracts the per-path bipolar bits where they land
+        selection contracts the per-path {0,1} int8 bits where they land
         (syndrome matmul, no gathers), and only the ONE selected codeword
         is relayouted to [B, N] — skipping the [B, L, N] transpose +
         per-path gathers of the generic path (~0.2 ms at N=1024 L=8

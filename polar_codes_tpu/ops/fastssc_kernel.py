@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fg import f_minsum_bits, g_update, f_minsum_sat, g_update_sat
+from .fg import f_minsum, f_minsum_bits, g_update, f_minsum_sat, g_update_sat
 from ..models.tree import CodeNode, NodeKind
 
 
@@ -50,17 +50,22 @@ class _Ops:
     or char (0 -> bit 0, saturating fip_char ops on integer-valued
     state)."""
 
-    def __init__(self, char: bool):
+    def __init__(self, char: bool, state_dtype=jnp.float32):
         self.char = char
         if char:
             self.f_fn, self.g_fn = f_minsum_sat, g_update_sat
             self.hard = _hard_char
             self.zero_r = lambda a, b: g_update_sat(a, b, jnp.ones_like(a))
-        else:
+        elif jnp.dtype(state_dtype) == jnp.float32:
             # bitcast f: the reference's sign-XOR formulation, cheaper
             # in-kernel (see fg.f_minsum_bits; zero-LLR caveat does not
-            # apply to channel-LLR trees)
+            # apply to channel-LLR trees). f32 only: the i32 bitcast
+            # does not exist for 16-bit state.
             self.f_fn, self.g_fn = f_minsum_bits, g_update
+            self.hard = _hard_sign
+            self.zero_r = _zero_r
+        else:
+            self.f_fn, self.g_fn = f_minsum, g_update
             self.hard = _hard_sign
             self.zero_r = _zero_r
 
@@ -130,7 +135,7 @@ def build_fs_hybrid_decode(decoder, batch_tile: int = 128,
         state_dtype = jnp.dtype(jnp.bfloat16)
     else:
         state_dtype = jnp.dtype(state_dtype)
-    ops = _Ops(char)
+    ops = _Ops(char, state_dtype)
     subtree_cache = {}
 
     def subtree_call(node: CodeNode):

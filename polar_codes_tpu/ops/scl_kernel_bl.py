@@ -644,7 +644,14 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                 bits, perm, metrics = getattr(
                     decoder, f"_bl_leaf_{node.kind.name.lower()}"
                 )(llr, metrics)
-            return _BlEmitter._to01(bits), perm, metrics
+            # int8 only at spans >= 32 (matches the kernel/glue invariant;
+            # a sub-32-span leaf above kernel_span keeps bipolar state so
+            # its BRANCH siblings combine in one dtype)
+            if node.length >= _BlEmitter._BITS_I8_SPAN:
+                bits = _BlEmitter._to01(bits)
+            else:
+                bits = bits.astype(state_dtype)
+            return bits, perm, metrics
         half = node.length // 2
         a, b = llr[:, :half], llr[:, half:]
         left_bits, p_left, metrics = xla_node(

@@ -59,10 +59,12 @@ def main():
         llr = add_awgn(jax.random.PRNGKey(1000 + c), bpsk_modulate(code),
                        esn0_linear=esn0)
         llr = jax.device_put(np.asarray(llr))
+        # the encoder wrote the CRC into info's tail: compare payload only
+        payload = info[:, : k_len - det.tail_bits]
         for a in arms:
             got, _, _ = decs[a].decode(llr)
-            got = np.asarray(got)
-            errs = got != info
+            got = np.asarray(got)[:, : k_len - det.tail_bits]
+            errs = got != payload
             stats[a][0] += int(errs.any(axis=-1).sum())
             stats[a][1] += int(errs.sum())
         if (c + 1) % 8 == 0:
@@ -72,8 +74,10 @@ def main():
                 for a in arms
             )
             print(f"{done} blocks: {line}", flush=True)
-    print("FINAL", {a: (stats[a][0] / total, stats[a][1] / (total * k_len))
-                    for a in arms}, flush=True)
+    payload_bits = k_len - det.tail_bits
+    print("FINAL",
+          {a: (stats[a][0] / total, stats[a][1] / (total * payload_bits))
+           for a in arms}, flush=True)
 
 
 if __name__ == "__main__":

@@ -136,11 +136,12 @@ class TestBatchOnLanesKernel:
         )
         mismatch = np.mean(np.asarray(cw) != np.asarray(cw_ref))
         assert mismatch < 0.02, f"codeword bit mismatch {mismatch:.4f}"
-        # the ML path (slot 0 after pruning) must agree except on
-        # near-ties: its metric gap vs the reference ML metric is noise
+        # the ML path (slot 0 after pruning) must agree tighter than the
+        # tail slots: bf16 rounding perturbs near-tied low-rank paths but
+        # the winner's metric is well separated
         np.testing.assert_allclose(
-            np.asarray(m)[:, 0], np.asarray(m_ref)[:, 0], rtol=0.02,
-            atol=0.25,
+            np.asarray(m)[:, 0], np.asarray(m_ref)[:, 0], rtol=0.005,
+            atol=0.06,
         )
 
     def test_int8_char_matches_xla_int8(self, rng):
