@@ -227,7 +227,7 @@ class SCLDecoder:
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
         enum_span: int = 16,
-        max_enum_k: int = 4,
+        max_enum_k: Optional[int] = None,
         layout: str = "batch_first",
         backend: str = "xla",
         pallas_tile: int = 128,
@@ -267,11 +267,15 @@ class SCLDecoder:
         # L=1 they would be *less* greedy than SC (pruning after the leaf
         # instead of after every bit), so L=1 keeps the reference tree to
         # preserve bit-exact SC equivalence. max_enum_k=4 is the measured
-        # optimum at N=1024 L=8 (v5e, same-session sweep: k=3 0.92 ms,
-        # k=4 0.90, k=5 0.97, k=6 1.04, no ENUM 1.22 per 1024 blocks);
-        # wider leaves make every prune sort a 2^k-candidate list, and
-        # that costs more than the subtree recursion it replaces. BLER is
-        # unaffected (ENUM is exact ML over the leaf at any k).
+        # optimum at N=1024 L=8 on the XLA path (v5e sweep: k=3 0.92 ms,
+        # k=4 0.90, k=5 0.97, k=6 1.04, no ENUM 1.22 per 1024 blocks) and
+        # within run noise of the Pallas optimum (interleaved repeat A/B:
+        # k=3 vs k=4 medians equal at ~0.50 ms; single-shot sweeps that
+        # favored k=3 by ~5% did not replicate). One default keeps both
+        # backends on the same tree — same candidate sets, same tie order.
+        # BLER is unaffected (ENUM is exact ML over the leaf at any k).
+        if max_enum_k is None:
+            max_enum_k = 4
         if self.list_size == 1:
             enum_span = 0
         self.enum_span = enum_span
@@ -881,11 +885,12 @@ class SCLDecoder:
                 (self.block_length, det.tail_bits), dtype=np.int8
             )
             a_full[np.asarray(self.info_pos), :] = A.T.astype(np.int8)
-            self._syn_cache = (
-                jnp.asarray(a_full),
-                jnp.asarray(g0, jnp.int32),
-            )
-        return self._syn_cache
+            # cache NUMPY constants: a jnp array materialized during a jit
+            # trace is a tracer, and caching it leaks it into later traces
+            # (UnexpectedTracerError on any re-jit of decode)
+            self._syn_cache = (a_full, np.asarray(g0, np.int32))
+        a_full, g0 = self._syn_cache
+        return jnp.asarray(a_full), jnp.asarray(g0)
 
     def _decode_pallas_fast(self, llr):
         """decode() in the kernel-native [L, N, B] layout: CRC-aided
@@ -947,10 +952,10 @@ class SCLDecoder:
         if getattr(self, "_info_sel_mat", None) is None:
             m = np.zeros((self.block_length, self.info_length), np.int8)
             m[np.asarray(self.info_pos), np.arange(self.info_length)] = 1
-            self._info_sel_mat = jnp.asarray(m)
+            self._info_sel_mat = m  # numpy: jnp under a trace would leak
         info = jax.lax.dot_general(
             bits_sel,
-            self._info_sel_mat,
+            jnp.asarray(self._info_sel_mat),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.uint8)  # [Bp, K]

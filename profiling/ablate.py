@@ -23,6 +23,8 @@ import sys
 import contextlib
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 @contextlib.contextmanager
 def patched(arm):

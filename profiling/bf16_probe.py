@@ -8,6 +8,8 @@ the crash can be pinned and worked around.
 
 Usage: python profiling/bf16_probe.py [probe ...]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import functools
 import numpy as np

@@ -8,6 +8,8 @@ within Monte-Carlo confidence before a faster arm can become the default.
 Usage: [BLOCKS=...] python profiling/bler_ab.py [arm ...]
 Arms: xla, pallas (f32), pallas_bf16.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import numpy as np

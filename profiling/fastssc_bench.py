@@ -1,5 +1,7 @@
 """Profiling harness: A/B pallas vs xla Fast-SSC on the real TPU.
 Usage: python profiling/fastssc_bench.py [N ...]"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import numpy as np
 

@@ -5,6 +5,8 @@ Usage:
   python profiling/kernel_profile.py split          # per-subtree-kernel timing
   python profiling/kernel_profile.py head 128x256 256x256 128x512 ...
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import numpy as np

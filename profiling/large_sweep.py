@@ -6,6 +6,8 @@ nearly free throughput.
 Usage: python profiling/large_sweep.py sc 131072 16 128 512
        python profiling/large_sweep.py scl 32768 64 256
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import numpy as np
 

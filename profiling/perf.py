@@ -1,4 +1,6 @@
 """Profiling harness: compare SCL decode variants on the real TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import json

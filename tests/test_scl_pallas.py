@@ -201,3 +201,22 @@ class TestBatchOnLanesKernel:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_r))
         np.testing.assert_array_equal(np.asarray(c), np.asarray(c_r))
         np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_r))
+
+    def test_decode_retrace_no_tracer_leak(self, rng):
+        # the syndrome/info-selection constants are cached on first use,
+        # which can be INSIDE a jit trace; a jnp array created there is a
+        # tracer and caching it poisoned every later trace
+        # (UnexpectedTracerError on any re-jit of decode)
+        import polar_codes_tpu.ops.scl_kernel_bl as kbl
+
+        frozen = frozen_bits(128, 64, 0.0)
+        dec = SCLDecoder(128, frozen, list_size=4, detector=CRC16(),
+                         backend="pallas")
+        dec._PALLAS_TILE = 8
+        dec._pallas_fn = kbl.build_bl_hybrid_decode_paths(
+            dec, batch_tile=8, kernel_span=128, interpret=True
+        )
+        llr = jnp.asarray(rng.normal(0, 2, (8, 128)), jnp.float32)
+        first = jax.jit(lambda x: dec.decode(x)[1])(llr)
+        second = jax.jit(lambda x: dec.decode(x)[1])(llr)  # fresh trace
+        np.testing.assert_array_equal(np.asarray(first), np.asarray(second))
