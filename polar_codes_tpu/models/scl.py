@@ -846,10 +846,13 @@ class SCLDecoder:
 
             span = self._pallas_span
             if span is None:
-                # VMEM-safe default: L=8 x span-256 is the measured sweet
-                # spot; larger lists shrink the kernel span so the
-                # VMEM-resident [L, span, B] state stays ~constant
-                span = max(64, min(256, 2048 // max(self.list_size, 8)))
+                # VMEM-safe default: measured optima (v5e, N=1024, int8
+                # bit state) are L<=8 -> 512, L=16 -> 256, L=32 -> 128
+                # (each +7-12% over the half-size span; the next size up
+                # exceeds VMEM at L>=16 and is slower at L=8). Larger
+                # lists shrink the kernel span so the VMEM-resident
+                # [L, span, B] state stays ~constant.
+                span = max(128, min(512, 4096 // max(self.list_size, 8)))
                 span = min(span, self.block_length)
             self._pallas_fn = build_bl_hybrid_decode_paths(
                 self,
