@@ -88,6 +88,31 @@ class AdaptiveDecoder:
         self._fast_fn = jax.jit(self.fast.decode)
         self._stage_fns = [jax.jit(s.decode) for s in self.stages]
         self._list_fn = self._stage_fns[-1] if self._stage_fns else None
+        # one fused gather->stage-decode->masked-scatter program per stage;
+        # the jit cache keys on the BUCKET size only (every array shape is
+        # padded to it), so each bucket compiles once. A version that
+        # gathered/scattered at the exact failure count recompiled the
+        # update ops on almost every call (the count is near-unique) at
+        # ~1 s per remote compile — 60x slower end-to-end.
+        self._rerun_fns = [self._make_rerun(s) for s in self.stages]
+
+    @staticmethod
+    def _make_rerun(stage):
+        def rerun(flat, gather_idx, scatter_idx, info, codeword, ok):
+            sub = jnp.asarray(flat, jnp.float32)[gather_idx]
+            s_info, s_code, s_ok = stage.decode(sub)
+            # dummy bucket slots carry scatter_idx == n_rows: out of range,
+            # dropped (their decoded garbage never lands anywhere)
+            info = info.at[scatter_idx].set(
+                s_info.astype(info.dtype), mode="drop"
+            )
+            codeword = codeword.at[scatter_idx].set(
+                s_code.astype(codeword.dtype), mode="drop"
+            )
+            ok = ok.at[scatter_idx].set(s_ok, mode="drop")
+            return info, codeword, ok
+
+        return jax.jit(rerun)
 
     def decode(self, llr) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """[batch, N] (or [N]) LLRs -> (info [.., K], codeword [.., N], ok).
@@ -104,22 +129,22 @@ class AdaptiveDecoder:
             if self.fast.dtype != jnp.int8
             else flat
         )
-        for stage_fn in self._stage_fns:
+        n_rows = flat.shape[0]
+        for rerun in self._rerun_fns:
             ok_np = np.asarray(ok)
             failed = np.nonzero(~ok_np)[0]
             if not failed.size:
                 break
             bucket = 1 << (int(failed.size - 1)).bit_length()
-            bucket = min(bucket, flat.shape[0])
-            pad = np.zeros(bucket, dtype=np.int64)
-            pad[: failed.size] = failed
-            sub = jnp.asarray(flat, jnp.float32)[jnp.asarray(pad)]
-            s_info, s_code, s_ok = stage_fn(sub)
-            take = jnp.asarray(failed)
-            src = jnp.arange(failed.size)
-            info = info.at[take].set(s_info[src].astype(info.dtype))
-            codeword = codeword.at[take].set(s_code[src].astype(codeword.dtype))
-            ok = ok.at[take].set(s_ok[src])
+            bucket = min(bucket, n_rows)
+            gather_idx = np.zeros(bucket, dtype=np.int32)
+            gather_idx[: failed.size] = failed
+            scatter_idx = np.full(bucket, n_rows, dtype=np.int32)
+            scatter_idx[: failed.size] = failed
+            info, codeword, ok = rerun(
+                flat, jnp.asarray(gather_idx), jnp.asarray(scatter_idx),
+                info, codeword, ok,
+            )
         out_shape = llr.shape[:-1]
         info = info.reshape(out_shape + (self.info_length,))
         codeword = codeword.reshape(out_shape + (self.block_length,))
