@@ -306,35 +306,67 @@ class LargeSCDecoder:
         def step(carry, xs):
             llrs, bits = carry
             t, mask, cls = xs
-            # downward: predicated f/g refresh of every outer stage. Stage
-            # s recomputes when t is a multiple of 2^(S-s); f for a left
-            # child (even node index at that stage), g for a right child.
+            # downward: f/g refresh of the outer stages that actually
+            # trigger at step t. Stage s recomputes when t is a multiple
+            # of 2^(S-s) — g for a right child (odd node index), f for a
+            # left child. lax.cond (NOT jnp.where) so non-trigger steps
+            # skip both the arithmetic and the full-span carry rewrite:
+            # the predicated-where formulation computed f AND g at EVERY
+            # stage EVERY step, ~T/log(T) times the SC-optimal work — the
+            # reason the scan decoders ran ~30x below the unrolled
+            # families AND anti-scaled with batch (the per-step full-span
+            # carry rewrites are pure HBM traffic). Measured at N=131072
+            # pallas: B=32 12.1 -> 7.6 ms; B=128 129.8 -> 16.2 ms
+            # (348 -> 1038 Mbit/s coded at the new B=128 sweet spot).
             prev = llr_flat
             new_llrs = []
             for s in range(1, n_outer + 1):
-                span = n_len >> s
-                a, b = prev[..., :span], prev[..., span:]
                 node = t >> (n_outer - s)
                 need = (t & ((1 << (n_outer - s)) - 1)) == 0
-                is_g = (node & 1) == 1
-                val = jnp.where(is_g, g_fn(a, b, bits[s - 1]), f_fn(a, b))
-                cur = jnp.where(need, val, llrs[s - 1])
+
+                def refresh(prev=prev, s=s, node=node):
+                    span = n_len >> s
+                    a, b = prev[..., :span], prev[..., span:]
+                    return jax.lax.cond(
+                        (node & 1) == 1,
+                        lambda: g_fn(a, b, bits[s - 1]),
+                        lambda: f_fn(a, b),
+                    )
+
+                cur = jax.lax.cond(
+                    need, refresh, lambda s=s: llrs[s - 1]
+                )
                 new_llrs.append(cur)
                 prev = cur
             # chunk decode (shared bodies, mask + class as data)
             x_chunk, u_chunk = self._chunk_switch(cls, prev, mask)
-            # upward: store-left / climb-while-right partial-sum combines
-            new_bits = list(bits)
-            cur = x_chunk
-            climb = jnp.asarray(True)
-            for s in range(n_outer, 0, -1):
-                node = t >> (n_outer - s)
-                is_right = (node & 1) == 1
-                store = climb & ~is_right
-                left = new_bits[s - 1]
-                new_bits[s - 1] = jnp.where(store, cur, left)
-                cur = jnp.concatenate([left * cur, cur], axis=-1)
-                climb = climb & is_right
+            # upward: store-left / climb-while-right partial-sum combines.
+            # The climb depth is trailing_ones(t), a scalar: branch k of a
+            # lax.switch performs EXACTLY k combines and one store, so no
+            # step touches spans it does not need (the old uniform loop
+            # concatenated up to span N/2 every step).
+            lsb = (t + 1) & -(t + 1)  # 2^trailing_ones(t), exact in f32
+            k_climb = jnp.round(jnp.log2(lsb.astype(jnp.float32)))
+            k_climb = jnp.minimum(k_climb.astype(jnp.int32), n_outer)
+
+            def up_branch(k):
+                def branch():
+                    nb = list(bits)
+                    cur = x_chunk
+                    for i in range(k):
+                        s = n_outer - i
+                        cur = jnp.concatenate(
+                            [nb[s - 1] * cur, cur], axis=-1
+                        )
+                    if k < n_outer:
+                        nb[n_outer - k - 1] = cur
+                    return tuple(nb)
+
+                return branch
+
+            new_bits = jax.lax.switch(
+                k_climb, [up_branch(k) for k in range(n_outer + 1)]
+            )
             return (tuple(new_llrs), tuple(new_bits)), u_chunk
 
         xs = (

@@ -209,12 +209,14 @@ def run_row(row, batch_bits, out):
             from ..models.large import LargeSCDecoder, LargeSCLDecoder
 
             # the scan decoders execute O(N) tiny sequential ops and are
-            # dispatch-bound, not bandwidth-bound (r2 grid: hbm_util 0.02
-            # at batch 16) — batch is nearly free throughput, so give the
-            # SC rows 2x the bit budget (keeps the timed window <=0.2 s,
+            # dispatch-bound, not bandwidth-bound — batch is nearly free
+            # throughput up to a working-set knee (measured N=131072
+            # pallas after the cond/switch stage refresh: B=128 1038,
+            # B=256 658 Mbit/s coded), so give the SC rows 8x the bit
+            # budget clamped to that knee (timed window stays <=0.2 s,
             # the worker-crash bound from CLAUDE.md)
             if kind == "sc_scan":
-                batch = min(max(2 * batch_bits // n_len, 16), 256)
+                batch = min(max(8 * batch_bits // n_len, 32), 256)
                 dec = LargeSCDecoder(
                     n_len, frozen, systematic=True, dtype=dtype,
                     backend=("pallas" if row["dtype"] == "pallas"
