@@ -627,6 +627,16 @@ class LargeSCLDecoder(SCLDecoder):
             return codewords, metrics, metrics > _ACTIVE_THRESHOLD
 
         chan = jnp.broadcast_to(flat[:, None, :], (batch, n_list, n_len))
+        id_perm = jnp.broadcast_to(
+            jnp.arange(n_list, dtype=jnp.int32), (batch, n_list)
+        )
+        # Deferred path permutation: stage buffers are stored in the path
+        # order current at their LAST WRITE; per-stage lag perms ([B, L]
+        # int32, composed with each chunk's perm — a tiny op) map current
+        # slots to stored slots, and buffers are gathered through their
+        # lag only at CONSUMPTION (a stage trigger / an upward climb).
+        # The eager version gathered every carried buffer every step —
+        # O(N*L) per step, T times the work the lazy-copy DataPool does.
         init = dict(
             llrs=tuple(
                 jnp.zeros((batch, n_list, n_len >> s), flat.dtype)
@@ -636,7 +646,8 @@ class LargeSCLDecoder(SCLDecoder):
                 jnp.zeros((batch, n_list, n_len >> s), flat.dtype)
                 for s in range(1, n_outer + 1)
             ),
-            xhat=jnp.zeros((batch, n_list, n_len), flat.dtype),
+            lag_l=(id_perm,) * n_outer,
+            lag_b=(id_perm,) * n_outer,
             metrics=metrics0,
         )
 
@@ -649,58 +660,113 @@ class LargeSCLDecoder(SCLDecoder):
         def step(carry, xs):
             t, mask, cls = xs
             llrs, bits = carry["llrs"], carry["bits"]
-            # downward predicated stage refresh (list axis rides along)
+            lag_l, lag_b = carry["lag_l"], carry["lag_b"]
+            # downward: f/g refresh only at the stages that trigger at
+            # step t (lax.cond — the predicated-where version computed f
+            # AND g at every stage every step; see LargeSCDecoder.step).
+            # A g-refresh reads its parent/bits buffers through their lag
+            # perms (they were written on an earlier step); an f-refresh
+            # chains from the parent refreshed THIS step (a stage only
+            # refreshes as a left child when its parent triggers too).
             prev = chan
             new_llrs = []
+            new_lag_l = []
             for s in range(1, n_outer + 1):
-                span = n_len >> s
-                a, b = prev[..., :span], prev[..., span:]
                 node = t >> (n_outer - s)
                 need = (t & ((1 << (n_outer - s)) - 1)) == 0
-                is_g = (node & 1) == 1
-                val = jnp.where(is_g, g_fn(a, b, bits[s - 1]), f_fn(a, b))
-                cur = jnp.where(need, val, llrs[s - 1])
+
+                def refresh(prev=prev, s=s, node=node):
+                    span = n_len >> s
+
+                    def do_g():
+                        par = (chan if s == 1 else
+                               _take_paths(llrs[s - 2], lag_l[s - 2]))
+                        a, b = par[..., :span], par[..., span:]
+                        return g_fn(
+                            a, b, _take_paths(bits[s - 1], lag_b[s - 1])
+                        )
+
+                    def do_f(prev=prev):
+                        a, b = prev[..., :span], prev[..., span:]
+                        return f_fn(a, b)
+
+                    return jax.lax.cond((node & 1) == 1, do_g, do_f)
+
+                cur = jax.lax.cond(
+                    need, refresh, lambda s=s: llrs[s - 1]
+                )
                 new_llrs.append(cur)
+                new_lag_l.append(jnp.where(need, id_perm, lag_l[s - 1]))
                 prev = cur
-            # chunk decode; all within-chunk forks compose into one perm
+            # chunk decode; all within-chunk forks compose into one perm,
+            # which is NOT applied to the carries — only the [B, L] lag
+            # perms compose with it
             x_chunk, perm, metrics = self._chunk_switch_scl(
                 cls, prev, mask, carry["metrics"]
             )
-            # apply the chunk's composed perm ONCE to the outer carry —
-            # the scan-scale analogue of lazy path duplication
-            new_llrs = [_take_paths(x, perm) for x in new_llrs]
-            bits = tuple(_take_paths(x, perm) for x in bits)
-            xhat = _take_paths(carry["xhat"], perm)
-            xhat = jax.lax.dynamic_update_slice(
-                xhat, x_chunk, (0, 0, t * m_len)
+            new_lag_l = [_compose_perms(p, perm) for p in new_lag_l]
+            lag_b = [_compose_perms(p, perm) for p in lag_b]
+            # upward: switch on trailing_ones(t) — branch k performs
+            # exactly the k combines and one store that step t needs,
+            # gathering each climbed left-sibling through its lag
+            lsb = (t + 1) & -(t + 1)
+            k_climb = jnp.round(jnp.log2(lsb.astype(jnp.float32)))
+            k_climb = jnp.minimum(k_climb.astype(jnp.int32), n_outer)
+
+            def up_branch(k):
+                def branch():
+                    nb = list(bits)
+                    nlb = list(lag_b)
+                    cur = x_chunk
+                    for i in range(k):
+                        s = n_outer - i
+                        left = _take_paths(nb[s - 1], nlb[s - 1])
+                        cur = jnp.concatenate([left * cur, cur], axis=-1)
+                    if k < n_outer:
+                        nb[n_outer - k - 1] = cur
+                        nlb[n_outer - k - 1] = id_perm
+                    return tuple(nb), tuple(nlb)
+
+                return branch
+
+            new_bits, new_lag_b = jax.lax.switch(
+                k_climb, [up_branch(k) for k in range(n_outer + 1)]
             )
-            # upward combines
-            new_bits = list(bits)
-            cur = x_chunk
-            climb = jnp.asarray(True)
-            for s in range(n_outer, 0, -1):
-                node = t >> (n_outer - s)
-                is_right = (node & 1) == 1
-                store = climb & ~is_right
-                left = new_bits[s - 1]
-                new_bits[s - 1] = jnp.where(store, cur, left)
-                cur = jnp.concatenate([left * cur, cur], axis=-1)
-                climb = climb & is_right
             out = dict(
                 llrs=tuple(new_llrs),
-                bits=tuple(new_bits),
-                xhat=xhat,
+                bits=new_bits,
+                lag_l=tuple(new_lag_l),
+                lag_b=new_lag_b,
                 metrics=metrics,
             )
-            return out, None
+            return out, (x_chunk, perm)
 
         xs = (
             jnp.arange(n_chunks),
             jnp.asarray(self._mask_chunks),
             jnp.asarray(classes),
         )
-        final, _ = jax.lax.scan(step, init, xs)
-        codeword_bipolar = self._combine_chunks(final["xhat"])
+        final, (segs, qs) = jax.lax.scan(step, init, xs)
+        # chunk segments were emitted in the path order current at their
+        # step; map final slots back to each step's slots by composing
+        # the LATER chunk perms (reverse scan over tiny [B, L] perms),
+        # then gather every segment once
+        def back(m, q):
+            m_prev = _compose_perms(q, m)
+            return m_prev, m_prev
+
+        if n_chunks > 1:
+            _, ms_rev = jax.lax.scan(back, id_perm, qs[:0:-1])
+            ms = jnp.concatenate(
+                [ms_rev[::-1], id_perm[None]], axis=0
+            )  # [T, B, L]: ms[t] maps final slots -> step-t slots
+        else:
+            ms = id_perm[None]
+        segs_final = _take_paths(segs, ms)  # [T, B, L, M]
+        xhat = jnp.moveaxis(segs_final, 0, 2).reshape(
+            batch, n_list, n_len
+        )
+        codeword_bipolar = self._combine_chunks(xhat)
         codewords = jnp.signbit(codeword_bipolar).astype(jnp.uint8)
         metrics = final["metrics"]
         codewords = codewords.reshape(lead + (n_list, n_len))
