@@ -136,10 +136,15 @@ class LargeSCDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
-        chunk: int = 512,
+        chunk: int = 2048,
         fast_chunks: bool = True,
         backend: str = "xla",
     ):
+        # chunk=2048 is the measured sweet spot on v5e (N=131072 B=128
+        # pallas: 512 -> 16.2 ms, 1024 -> 11.7, 2048 -> 10.4, 4096 -> 11.6;
+        # profiling/large_chunk_probe.py): the scan is per-step
+        # dispatch-bound, so fewer/larger steps win until the chunk kernel
+        # itself stops amortizing.
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
         _check_pow2(chunk, "chunk")
