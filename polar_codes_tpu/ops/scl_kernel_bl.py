@@ -133,10 +133,19 @@ class _BlEmitter:
     so pruning order differs from f32 only by bf16 rounding of the state
     values themselves."""
 
-    def __init__(self, decoder, state_dtype=jnp.float32):
+    def __init__(self, decoder, state_dtype=jnp.float32, bitplane=False):
         self.dec = decoder
         self.n_list = decoder.list_size
         self.sdt = jnp.dtype(state_dtype)
+        # bitplane=True: decision bits live as ONE i32 word per (span,
+        # lane) with the path axis packed into bitplanes. Path-fork
+        # gathers become w variable shifts (out_l = (word >> src[l]) & 1,
+        # measured 2.5x faster than the w*(w-1) select chain on v5e —
+        # profiling/bitplane_probe.py), ancestor combines become a single
+        # XOR instead of w bipolar products, and the bit state's vreg
+        # footprint drops w-fold. Values are exactly the {0,1} bits of
+        # the bipolar formulation; metrics/prune order are untouched.
+        self.bitplane = bool(bitplane)
         # int8 (SclFipChar) mode: saturating f/g; every value is an integer
         # in [-254, 254], exact in bf16, so the packed state keeps exact
         # fip_char value parity
@@ -244,6 +253,59 @@ class _BlEmitter:
         idx = jnp.stack(codes, axis=0)
         return new_metrics, idx // n_cand, idx % n_cand
 
+    # -- bitplane helpers ----------------------------------------------------
+    # Packed bit words are [S, B] int32; plane l holds path l's {0,1} bit.
+    # Only shifts/and/or/xor touch them — no selects, the ops Mosaic
+    # vectorizes at any span (profiling/bitplane_probe.py).
+
+    @staticmethod
+    def _pack01(b01):
+        """[w, S, B] int32 {0,1} -> packed [S, B] int32."""
+        acc = b01[0]
+        for l in range(1, b01.shape[0]):
+            acc = acc | (b01[l] << l)
+        return acc
+
+    @staticmethod
+    def _pack_mask(mask):
+        """[w, S, B] bool -> packed [S, B] int32 (1 bits where True)."""
+        return _BlEmitter._pack01(jnp.where(mask, 1, 0))
+
+    @staticmethod
+    def _take_packed(packed, src, w_out):
+        """Path-fork gather on a packed word: out plane l = in plane
+        src[l, b] — w variable shifts instead of a select chain. src may
+        be a static ("rep", c) widening perm (constant shifts)."""
+        if src is None:
+            return packed
+        if isinstance(src, tuple):
+            c = src[1]
+            acc = packed & 1
+            for l in range(1, w_out):
+                acc = acc | (((packed >> (l // c)) & 1) << l)
+            return acc
+        acc = (packed >> src[0][None, :]) & 1
+        for l in range(1, w_out):
+            acc = acc | (((packed >> src[l][None, :]) & 1) << l)
+        return acc
+
+    @staticmethod
+    def _packed_planes(packed, w):
+        """Packed word -> [w, S, B] int32 {0,1} planes."""
+        return jnp.stack([(packed >> l) & 1 for l in range(w)], axis=0)
+
+    def _packed_bipolar(self, packed, w, dtype):
+        """Packed word -> [w, S, B] bipolar ±1 in `dtype` (g's operand)."""
+        planes = self._packed_planes(packed, w)
+        u = (1 - 2 * planes).astype(jnp.float32)
+        return u.astype(dtype)
+
+    def _hard01(self, llr):
+        """{0,1} int32 hard decisions, matching _hard's sign rule."""
+        if self.int8:
+            return jnp.where(llr < 0, 1, 0)
+        return jnp.where(jnp.signbit(llr), 1, 0)
+
     # -- leaf helpers --------------------------------------------------------
 
     def _hard(self, llr):
@@ -288,6 +350,9 @@ class _BlEmitter:
     # -- leaves --------------------------------------------------------------
 
     def leaf_rate0(self, llr, metrics):
+        if self.bitplane:
+            zeros = jnp.zeros(llr.shape[1:], jnp.int32)
+            return zeros, None, metrics + self._min0sum(llr)
         return jnp.ones_like(llr), None, metrics + self._min0sum(llr)
 
     def leaf_rate1(self, llr, metrics):
@@ -298,6 +363,15 @@ class _BlEmitter:
             m0 = mag[:, 0, :].astype(jnp.float32)  # [L, B]
             deltas = jnp.stack([jnp.zeros_like(m0), -m0], axis=0)
             new_metrics, src, cand = self._prune(metrics, deltas)
+            if self.bitplane:
+                w_out = new_metrics.shape[0]
+                hard_p = self._take_packed(
+                    self._pack01(self._hard01(llr)), src, w_out
+                )
+                flip = jnp.broadcast_to(
+                    (cand == 1)[:, None, :], (w_out,) + llr.shape[1:]
+                )
+                return hard_p ^ self._pack_mask(flip), src, new_metrics
             hard_g = _take_state(hard, src)
             bits = hard_g * self._flip((cand == 1)[:, None, :], hard_g)
             return bits, src, new_metrics
@@ -305,16 +379,25 @@ class _BlEmitter:
         zero = jnp.zeros_like(m0)
         deltas = jnp.stack([zero, -m0, -m1, -m0 - m1], axis=0)
         new_metrics, src, cand = self._prune(metrics, deltas)
-        hard_g = _take_state(hard, src)
         i0g = _take_vec(i0, src)
         i1g = _take_vec(i1, src)
-        pos = _iota(hard_g.shape, 1)
+        if self.bitplane:
+            w_out = new_metrics.shape[0]
+            hard_p = self._take_packed(
+                self._pack01(self._hard01(llr)), src, w_out
+            )
+            pos = _iota((w_out,) + llr.shape[1:], 1)
+        else:
+            hard_g = _take_state(hard, src)
+            pos = _iota(hard_g.shape, 1)
         flip0 = ((cand == 1) | (cand == 3))[:, None, :] & (
             pos == i0g[:, None, :]
         )
         flip1 = ((cand == 2) | (cand == 3))[:, None, :] & (
             pos == i1g[:, None, :]
         )
+        if self.bitplane:
+            return hard_p ^ self._pack_mask(flip0 | flip1), src, new_metrics
         bits = hard_g * self._flip(flip0 | flip1, hard_g)
         return bits, src, new_metrics
 
@@ -323,6 +406,14 @@ class _BlEmitter:
         d_one = -self._max0sum(llr)
         deltas = jnp.stack([d_zero, d_one], axis=0)
         new_metrics, src, cand = self._prune(metrics, deltas)
+        if self.bitplane:
+            # pack the [w, 1, B] decision first, broadcast the i32 word:
+            # Mosaic rejects BOOL sublane-dim broadcasts at wide spans
+            # (the f32/i32 equivalent lowers fine)
+            word = self._pack_mask((cand != 0)[:, None, :])  # [1, B]
+            return (
+                jnp.broadcast_to(word, llr.shape[1:]), src, new_metrics
+            )
         bits = jnp.broadcast_to(
             self._flip((cand != 0)[:, None, :], llr),
             cand.shape[:1] + llr.shape[1:],
@@ -350,9 +441,16 @@ class _BlEmitter:
             deltas.append(jnp.where(parity_odd, d_odd, d_even))
         deltas = jnp.stack(deltas, axis=0)  # [8, L, B]
         new_metrics, src, cand = self._prune(metrics, deltas)
-        hard_g = _take_state(hard, src)
+        if self.bitplane:
+            w_out = new_metrics.shape[0]
+            hard_p = self._take_packed(
+                self._pack01(self._hard01(llr)), src, w_out
+            )
+            pos = _iota((w_out,) + llr.shape[1:], 1)
+        else:
+            hard_g = _take_state(hard, src)
+            pos = _iota(hard_g.shape, 1)
         parity_g = _take_vec(jnp.where(parity_odd, 1, 0), src)  # [L, B] int
-        pos = _iota(hard_g.shape, 1)
         po = parity_g == 1
         even_t = np.asarray(_SPC_FLIPS_EVEN)
         odd_t = np.asarray(_SPC_FLIPS_ODD)
@@ -371,6 +469,8 @@ class _BlEmitter:
             flip_mask = flip_mask | (
                 fj[:, None, :] & (pos == ij[:, None, :])
             )
+        if self.bitplane:
+            return hard_p ^ self._pack_mask(flip_mask), src, new_metrics
         bits = hard_g * self._flip(flip_mask, hard_g)
         return bits, src, new_metrics
 
@@ -395,6 +495,20 @@ class _BlEmitter:
         # decision bits from static +-1 patterns: Pallas kernels cannot
         # capture array constants, so the pattern is rebuilt from iota
         # comparisons against the (static) negative positions
+        if self.bitplane:
+            ones = jnp.zeros(cand.shape[:1] + llr.shape[1:], jnp.int32)
+            pos = _iota(ones.shape, 1)
+            for c in range(n_cand):
+                neg_positions = [s for s in range(span) if table[c, s] < 0]
+                if not neg_positions:
+                    continue
+                negmask = pos == neg_positions[0]
+                for s in neg_positions[1:]:
+                    negmask = negmask | (pos == s)
+                ones = jnp.where(
+                    (cand == c)[:, None, :] & negmask, 1, ones
+                )
+            return self._pack01(ones), src, new_metrics
         bits = jnp.ones(cand.shape[:1] + llr.shape[1:], llr.dtype)
         pos = _iota(bits.shape, 1)
         for c in range(n_cand):
@@ -439,21 +553,40 @@ class _BlEmitter:
                 llr if self.sdt == jnp.float32 else llr.astype(jnp.float32),
                 metrics,
             )
+            if self.bitplane:
+                return bits, src, m  # packed i32 word, no state dtype
             return bits.astype(self.sdt), src, m
         half = node.length // 2
         a, b = llr[:, :half, :], llr[:, half:, :]
         left_bits, p_left, metrics = self.node(  # BRANCH recursion
             node.left, self.f_fn(a, b), metrics
         )
+        w_mid = metrics.shape[0]
         if p_left is not None:
             llr_g = _take_state(llr, p_left)
             a, b = llr_g[:, :half, :], llr_g[:, half:, :]
-        right_bits, p_right, metrics = self.node(
-            node.right, self.g_fn(a, b, left_bits), metrics
+        g_bits = (
+            self._packed_bipolar(left_bits, w_mid, a.dtype)
+            if self.bitplane else left_bits
         )
+        right_bits, p_right, metrics = self.node(
+            node.right, self.g_fn(a, b, g_bits), metrics
+        )
+        perm = _compose0(p_left, p_right)
+        if self.bitplane:
+            if p_right is not None:
+                left_bits = self._take_packed(
+                    left_bits, p_right, metrics.shape[0]
+                )
+            return (
+                jnp.concatenate(
+                    [left_bits ^ right_bits, right_bits], axis=0
+                ),
+                perm,
+                metrics,
+            )
         if p_right is not None:
             left_bits = _take_state(left_bits, p_right)
-        perm = _compose0(p_left, p_right)
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
         return bits, perm, metrics
 
@@ -483,7 +616,8 @@ def _static_width(decoder, node: CodeNode, w: int) -> int:
 def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  kernel_span: int = 256,
                                  interpret: bool = False,
-                                 state_dtype=jnp.float32):
+                                 state_dtype=jnp.float32,
+                                 bitplane=None):
     """Pallas [w, S, B] subtree kernels + XLA glue above.
 
     Progressive list widening runs end-to-end: the decode starts at width 1
@@ -498,7 +632,14 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     n_list = decoder.list_size
     n_len = decoder.block_length
     state_dtype = jnp.dtype(state_dtype)
-    emitter = _BlEmitter(decoder, state_dtype)
+    if bitplane is None:
+        # measured v5e crossover (N=1024, span 512, B=1024): L=2 -6%,
+        # L=4 wash, L=8 +3.5%, L=16 +26% — the packed word amortizes
+        # with list size (fork = w var-shifts vs w(w-1) selects, combine
+        # = 1 XOR vs w products) while the fixed pack/unpack overhead at
+        # g calls and kernel boundaries does not shrink with w
+        bitplane = decoder.list_size >= 8
+    emitter = _BlEmitter(decoder, state_dtype, bitplane=bitplane)
     # widening kernels (w_in < w_out) SIGABRT the Mosaic compiler under a
     # bf16 state on real HW (profiling/kernel_profile.py ksplit: only the
     # leftmost w=1->L kernel fails; every construct probe passes alone).
@@ -506,7 +647,8 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     # time, so they simply run in f32; steady-width kernels keep the
     # two-per-word bf16 state.
     emitter_f32 = (emitter if state_dtype == jnp.float32
-                   else _BlEmitter(decoder, jnp.float32))
+                   else _BlEmitter(decoder, jnp.float32,
+                                   bitplane=bitplane))
     subtree_cache = {}
     subtree_info = []  # (node, w_in, w_out, call) — profiling introspection
 
@@ -530,7 +672,16 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             elif isinstance(perm, tuple):
                 # pure widening inside this subtree: slot j sourced j // c
                 perm = _iota((w_out, batch_tile), 0) // perm[1]
-            if bdt == jnp.int8:
+            if emit.bitplane:
+                # ONE unpack of the packed bit word at the kernel
+                # boundary; the glue keeps its {0,1} int8 (or bipolar
+                # state-dtype below span 32) contract unchanged
+                planes = _BlEmitter._packed_planes(bits, w_out)
+                if bdt == jnp.int8:
+                    bits_ref[...] = planes.astype(jnp.int8)
+                else:
+                    bits_ref[...] = (1 - 2 * planes).astype(kdt)
+            elif bdt == jnp.int8:
                 # ONE bipolar->{0,1}-int8 pass at the kernel boundary:
                 # the glue gathers/combines and the CRC selection then
                 # run at 1/4 the f32 HBM/vreg traffic. In-kernel int8
