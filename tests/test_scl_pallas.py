@@ -220,3 +220,64 @@ class TestBatchOnLanesKernel:
         first = jax.jit(lambda x: dec.decode(x)[1])(llr)
         second = jax.jit(lambda x: dec.decode(x)[1])(llr)  # fresh trace
         np.testing.assert_array_equal(np.asarray(first), np.asarray(second))
+
+
+class TestBitplaneState:
+    """Path-axis i32 bitplane bit state (the L>=8 kernel default):
+    helper-level equivalence with the select-chain formulation plus an
+    explicit bitplane on/off A/B of the full hybrid decode (both builds
+    stay covered regardless of the auto-gating default)."""
+
+    def test_take_packed_matches_take_state(self, rng):
+        from polar_codes_tpu.ops.scl_kernel_bl import _BlEmitter, _take_state
+
+        w, span, batch = 8, 16, 8
+        b01 = rng.integers(0, 2, (w, span, batch)).astype(np.int32)
+        bipolar = jnp.asarray(1.0 - 2.0 * b01, jnp.float32)
+        packed = _BlEmitter._pack01(jnp.asarray(b01))
+        for src in (
+            jnp.asarray(rng.integers(0, w, (w, batch)), jnp.int32),  # fork
+            ("rep", 2),                                # static widening
+        ):
+            got = _BlEmitter._take_packed(packed, src, w)
+            got_planes = _BlEmitter._packed_planes(got, w)
+            want = _take_state(bipolar, src)[:w]
+            np.testing.assert_array_equal(
+                np.asarray(got_planes), (np.asarray(want) < 0).astype(np.int32)
+            )
+
+    def test_packed_bipolar_roundtrip(self, rng):
+        from polar_codes_tpu.ops.scl_kernel_bl import _BlEmitter
+
+        w, span, batch = 8, 4, 8
+        b01 = rng.integers(0, 2, (w, span, batch)).astype(np.int32)
+        packed = _BlEmitter._pack01(jnp.asarray(b01))
+        em = _BlEmitter.__new__(_BlEmitter)
+        u = em._packed_bipolar(packed, w, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(u), 1.0 - 2.0 * b01)
+
+    @pytest.mark.parametrize("list_size", [4, 8])
+    def test_bitplane_onoff_identical(self, list_size, rng):
+        from polar_codes_tpu.ops.scl_kernel_bl import (
+            build_bl_hybrid_decode_paths,
+        )
+
+        n_len, k_len = 256, 128
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        dec = SCLDecoder(n_len, frozen, list_size=list_size,
+                         detector=CRC16())
+        llr = jnp.asarray(rng.normal(0, 2, (16, n_len)), jnp.float32)
+        outs = {}
+        for bp in (False, True):
+            fn = build_bl_hybrid_decode_paths(
+                dec, batch_tile=8, kernel_span=64, interpret=True,
+                bitplane=bp,
+            )
+            outs[bp] = fn(llr)
+        np.testing.assert_array_equal(
+            np.asarray(outs[False][0]), np.asarray(outs[True][0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[False][1]), np.asarray(outs[True][1]),
+            rtol=1e-6, atol=1e-6,
+        )
