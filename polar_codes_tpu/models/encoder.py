@@ -96,11 +96,15 @@ class PolarEncoder:
             )
         if generate_crc and self.detector.tail_bits:
             x = self.detector.generate(x)
-        # VMEM guard: the kernel holds an [N, 128] f32 block plus live
-        # temporaries for all stages; beyond N=8192 (~4 MB x2-3 live) it
-        # would not fit reliably, so large blocks keep the XLA path
-        if self.backend == "pallas" and self.block_length <= 8192:
-            return self._encode_pallas(x)
+        # fast-path dispatch: the all-stage VMEM kernel is proven at
+        # N<=2048; beyond that its Mosaic compile fails on HW (r3 grid:
+        # remote-compile 500 at N=4096), so large blocks use the
+        # MXU-factored transform (two GF(2) matmuls, ops/butterfly.py
+        # polar_transform_mxu) — no Mosaic, no VMEM ceiling, exact
+        if self.backend == "pallas":
+            if self.block_length <= 2048:
+                return self._encode_pallas(x)
+            return self._encode_mxu(x)
         # bipolar float32 internally: XOR becomes multiply on the VPU's
         # native dtype — ~3x faster than uint8 stages on TPU, bit-identical
         frozen_m = jnp.asarray(self.frozen_mask)
@@ -137,6 +141,18 @@ class PolarEncoder:
         if pad:
             code = code[:n_batch]
         return code.reshape(lead + (self.block_length,))
+
+    def _encode_mxu(self, x):
+        """Kronecker-factored MXU encode for large N (both passes)."""
+        from ..ops.butterfly import polar_transform_mxu
+
+        inv = jnp.asarray(1.0 - self.frozen_mask, jnp.float32)
+        u = self.inject(x.astype(jnp.float32))
+        code = polar_transform_mxu(u)
+        if self.systematic:
+            code = code * inv  # re-freeze: frozen rows back to 0
+            code = polar_transform_mxu(code)
+        return code.astype(jnp.uint8)
 
     def transform(self, bits):
         """Raw N-stage butterfly (involution); exposed for decoders that

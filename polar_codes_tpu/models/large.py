@@ -136,16 +136,20 @@ class LargeSCDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
-        chunk: int = 2048,
+        chunk: Optional[int] = None,
         fast_chunks: bool = True,
         backend: str = "xla",
     ):
-        # chunk=2048 is the measured sweet spot on v5e (N=131072 B=128
-        # pallas: 512 -> 16.2 ms, 1024 -> 11.7, 2048 -> 10.4, 4096 -> 11.6;
-        # profiling/large_chunk_probe.py): the scan is per-step
-        # dispatch-bound, so fewer/larger steps win until the chunk kernel
-        # itself stops amortizing.
+        # Per-backend chunk default. pallas: 2048 is the measured sweet
+        # spot on v5e (N=131072 B=128: 512 -> 16.2 ms, 1024 -> 11.7,
+        # 2048 -> 10.4, 4096 -> 11.6; profiling/large_chunk_probe.py) —
+        # the scan is per-step dispatch-bound, so fewer/larger steps win
+        # until the chunk kernel stops amortizing. xla: the chunk body is
+        # a fully unrolled ~2*chunk-op recursion, so 2048 quadruples the
+        # program size vs the r2-verified 512; keep 512 until measured.
         n = _check_pow2(block_length, "block length")
+        if chunk is None:
+            chunk = 2048 if backend == "pallas" else 512
         chunk = min(chunk, block_length)
         _check_pow2(chunk, "chunk")
         self.block_length = block_length

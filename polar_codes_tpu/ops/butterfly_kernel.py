@@ -52,7 +52,7 @@ def build_encode_kernel(n_len: int, frozen_mask, systematic: bool = True,
     import numpy as np
 
     # broadcast to the full lane width: unit lane dims are a known Mosaic
-    # trouble spot (see ops/scl_kernel.py docstrings)
+    # trouble spot (see profiling/scl_kernel_gen1.py docstrings)
     mask = np.broadcast_to(
         np.asarray(frozen_mask, dtype=np.float32).reshape(n_len, 1),
         (n_len, batch_tile),

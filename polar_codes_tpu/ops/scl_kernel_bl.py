@@ -5,7 +5,8 @@ of /root/reference/src/polarcode/decoding/scl_avx_float.cpp:353-586,
 already covered functionally by models/scl.py — this file is purely a
 performance vehicle).
 
-Why a redesign: the first kernel (ops/scl_kernel.py) uses [B_tile, L, span]
+Why a redesign: the first kernel (profiling/scl_kernel_gen1.py, demoted
+out of the production package as a measured A/B artifact) uses [B_tile, L, span]
 blocks — span lives on the VPU lanes, the list axis on sublanes, and the
 batch is an unvectorized outer dimension. Measured on v5e that hybrid runs
 at 26 ms per 1024-block batch (vs 0.90 ms for the XLA path): at deep nodes
@@ -357,7 +358,9 @@ class _BlEmitter:
 
     def leaf_rate1(self, llr, metrics):
         span = llr.shape[1]
-        hard = self._hard(llr)
+        # bitplane mode decides via _hard01 in both branches; keep the
+        # bipolar hard decision out of that trace entirely
+        hard = None if self.bitplane else self._hard(llr)
         mag = jnp.abs(llr)
         if span == 1:
             m0 = mag[:, 0, :].astype(jnp.float32)  # [L, B]
@@ -637,8 +640,15 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         # L=4 wash, L=8 +3.5%, L=16 +26% — the packed word amortizes
         # with list size (fork = w var-shifts vs w(w-1) selects, combine
         # = 1 XOR vs w products) while the fixed pack/unpack overhead at
-        # g calls and kernel boundaries does not shrink with w
-        bitplane = decoder.list_size >= 8
+        # g calls and kernel boundaries does not shrink with w.
+        # Capped at 32: the path axis packs into ONE i32 word.
+        bitplane = 8 <= decoder.list_size <= 32
+    elif bitplane and decoder.list_size > 32:
+        raise ValueError(
+            f"bitplane bit state packs the path axis into one i32 word; "
+            f"list_size={decoder.list_size} > 32 is not representable "
+            f"(use bitplane=False)"
+        )
     emitter = _BlEmitter(decoder, state_dtype, bitplane=bitplane)
     # widening kernels (w_in < w_out) SIGABRT the Mosaic compiler under a
     # bf16 state on real HW (profiling/kernel_profile.py ksplit: only the

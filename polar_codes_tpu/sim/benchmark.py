@@ -41,9 +41,12 @@ def bits_budget_batch(n_len: int, budget_bits: int = 1 << 21) -> int:
 def enumerate_rows(quick: bool):
     """Declarative grid: list of dicts describing every benchmark row.
 
-    Mirrors main_benchmark.cpp: encode N in {64..131072} x CRC
-    (:273-369), Fast-SSC N in {64..8192} x {float,char}, CA-SCL
-    N x L in {1024,4096} x {2..32} x {float,char}, SCAN (:371-503).
+    Mirrors main_benchmark.cpp dimension-for-dimension: encode N in
+    {64..131072} x CRC/CMAC x systematic x dSNR (:273-369), Fast-SSC N in
+    {64..8192} x {float,char}, CA-SCL N in {256..8192} x L in {1..32} x
+    CRC in {0,8,16,32} x {float,char}, SCAN (:371-503). The reference
+    sweeps every cross product; here each dimension is swept around the
+    flagship shape (N=1024 L=8 CRC16) so the grid stays one TPU pass.
     """
     rows = []
     enc_ns = [256, 1024, 4096] if quick else [64, 256, 1024, 4096, 16384,
@@ -55,8 +58,23 @@ def enumerate_rows(quick: bool):
             rows.append(dict(kind="encode", N=n_len, K=n_len // 2,
                              C=c_bits, L=0, dtype="float"))
 
-    # encode: fused VMEM kernel variant (<=8192: the all-stage block cap)
-    for n_len in [n for n in enc_ns if 256 <= n <= 8192]:
+    if not quick:
+        # CMAC tail rows (main_benchmark.cpp:330-340: cmac x {8..64} at
+        # N=1024) and the systematic / design-SNR encode dimensions
+        for c_bits in (8, 16, 32, 64):
+            rows.append(dict(kind="encode", N=1024, K=512, C=c_bits,
+                             L=0, dtype="float", det="cmac"))
+        for n_len in (1024, 32768):
+            rows.append(dict(kind="encode", N=n_len, K=n_len // 2, C=16,
+                             L=0, dtype="float", systematic=False))
+        rows.append(dict(kind="encode", N=1024, K=512, C=16, L=0,
+                         dtype="float", dsnr=4.0))
+
+    # encode: fast path — all-stage VMEM kernel at N<=2048, MXU-factored
+    # GF(2) matmuls beyond (no VMEM/compile ceiling; ops/butterfly.py)
+    enc_fast_ns = ([256, 1024] if quick
+                   else [256, 1024, 4096, 8192, 32768, 131072])
+    for n_len in enc_fast_ns:
         rows.append(dict(kind="encode", N=n_len, K=n_len // 2,
                          C=16, L=0, dtype="pallas"))
 
@@ -75,16 +93,36 @@ def enumerate_rows(quick: bool):
     for n_len in ([1024] if quick else [256, 1024, 4096]):
         for list_size in scl_ls:
             for tag in ("float", "char", "pallas", "pallas_char"):
-                if n_len == 4096 and list_size > 8:
-                    continue  # compile-time guard; covered at 1024
+                if (n_len == 4096 and list_size > 8
+                        and not tag.startswith("pallas")):
+                    continue  # XLA-unroll compile guard; pallas runs all L
                 if tag.startswith("pallas") and list_size == 1:
                     continue  # L=1 delegates to Fast-SSC (same program)
-                if tag == "pallas_char" and (n_len, list_size) != (1024, 8):
-                    continue  # one flagship-shape row for the char kernels
+                if tag == "pallas_char" and (
+                        list_size != 8 or n_len == 256):
+                    continue  # char kernel rows at (1024, 8) + (4096, 8)
                 rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
                                  C=16, L=list_size, dtype=tag))
 
     if not quick:
+        # N=8192 decode rows (main_benchmark.cpp:494-503)
+        for list_size in (2, 8):
+            rows.append(dict(kind="cascl", N=8192, K=4096, C=16,
+                             L=list_size, dtype="float"))
+        rows.append(dict(kind="cascl", N=8192, K=4096, C=16, L=8,
+                         dtype="pallas"))
+        # CRC breadth at the flagship shape (the reference crosses
+        # CRC in {0,8,16,32} with every decode row)
+        for c_bits in (0, 8, 32):
+            for tag in ("float", "pallas"):
+                rows.append(dict(kind="cascl", N=1024, K=512, C=c_bits,
+                                 L=8, dtype=tag))
+        # systematic=0 and design-SNR decode dimensions
+        for tag in ("float", "pallas"):
+            rows.append(dict(kind="cascl", N=1024, K=512, C=16, L=8,
+                             dtype=tag, systematic=False))
+        rows.append(dict(kind="cascl", N=1024, K=512, C=16, L=8,
+                         dtype="float", dsnr=4.0))
         # construction variant (the reference benchmarks BE separately:
         # main_benchmark.cpp:460 — the frozen set changes the specialized
         # tree, so throughput differs from BB) and a rate sweep at the
@@ -127,6 +165,18 @@ def row_name(row):
         suffix += f"_{row['ctor'].lower()}"
     if kind in ("cascl", "fastssc") and row["K"] != n_len // 2:
         suffix += f"_k{row['K']}"
+    # non-default grid dimensions get explicit name suffixes
+    if not row.get("systematic", True):
+        suffix += "_nonsys"
+    if row.get("dsnr", 0.0):
+        suffix += f"_dsnr{int(round(row['dsnr'] * 100))}"
+    if kind == "cascl" and row["C"] != 16:
+        suffix += f"_crc{row['C']}"
+    if suffix and kind == "encode":
+        det = row.get("det", "crc")
+        return f"encode_n{n_len}_{det}{row['C']}" + suffix
+    if kind == "encode" and row.get("det", "crc") != "crc":
+        return f"encode_n{n_len}_{row['det']}{row['C']}"
     if suffix:
         base = (f"cascl_{row['dtype']}_n{n_len}" if kind == "cascl"
                 else f"fastssc_{row['dtype']}_n{n_len}")
@@ -192,17 +242,22 @@ def run_row(row, batch_bits, out):
     kind = row["kind"]
 
     if kind == "encode":
-        det = make_detector(row["C"], "crc") if row["C"] else None
-        frozen = frozen_bits(n_len, k_len, 0.0, row.get("ctor", "BB"))
+        det = (make_detector(row["C"], row.get("det", "crc"))
+               if row["C"] else None)
+        frozen = frozen_bits(n_len, k_len, row.get("dsnr", 0.0),
+                             row.get("ctor", "BB"))
         enc = PolarEncoder(
-            n_len, frozen, systematic=True, detector=det,
+            n_len, frozen, systematic=row.get("systematic", True),
+            detector=det,
             backend="pallas" if row["dtype"] == "pallas" else "xla",
         )
         bits = jnp.asarray(rng.integers(0, 2, (batch, k_len)), jnp.uint8)
         secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
-        roof = roofline(lambda x: enc.encode(x), bits, seconds=secs)
+        roof = roofline(lambda x: enc.encode(x), bits, seconds=secs,
+                        model=enc, batch=batch)
     else:
-        frozen = frozen_bits(n_len, k_len, 0.0, row.get("ctor", "BB"))
+        frozen = frozen_bits(n_len, k_len, row.get("dsnr", 0.0),
+                             row.get("ctor", "BB"))
         dtype = (jnp.int8 if row["dtype"] in ("char", "pallas_char")
                  else jnp.float32)
         if kind in ("sc_scan", "cascl_scan"):
@@ -238,11 +293,14 @@ def run_row(row, batch_bits, out):
             dec = FastSSCDecoder(n_len, frozen, systematic=True, dtype=dtype,
                                  backend=backend)
         elif kind == "cascl":
-            det = make_detector(row["C"], "crc")
+            # C=0: no detector — pure ML list selection (the reference's
+            # parity_size=0 grid dimension)
+            det = make_detector(row["C"], "crc") if row["C"] else None
             backend = ("pallas" if row["dtype"].startswith("pallas")
                        else "xla")
             dec = SCLDecoder(n_len, frozen, list_size=row["L"],
-                             systematic=True, detector=det, dtype=dtype,
+                             systematic=row.get("systematic", True),
+                             detector=det, dtype=dtype,
                              backend=backend)
         else:
             dec = ScanDecoder(n_len, frozen, systematic=True,
@@ -254,7 +312,8 @@ def run_row(row, batch_bits, out):
             llr = jnp.clip(jnp.round(llr * 8), -127, 127).astype(jnp.int8)
         llr = jax.device_put(llr)
         secs = time_device_fn(lambda x: dec.decode(x), llr, reps=8)
-        roof = roofline(lambda x: dec.decode(x), llr, seconds=secs)
+        roof = roofline(lambda x: dec.decode(x), llr, seconds=secs,
+                        model=dec, batch=batch)
 
     rec = dict(bench=row["bench"], N=n_len, K=k_len, C=row["C"], L=row["L"],
                dtype=row["dtype"], batch=batch, platform=platform,
@@ -262,7 +321,8 @@ def run_row(row, batch_bits, out):
                code_thr_mbps=batch * n_len / secs / 1e6,
                info_thr_mbps=batch * k_len / secs / 1e6,
                blocks_per_s=batch / secs)
-    for key in ("flops", "bytes_accessed", "mfu", "hbm_util", "bound"):
+    for key in ("flops", "bytes_accessed", "mfu", "hbm_util", "bound",
+                "cost_model"):
         if key in roof:
             rec[key] = roof[key]
     line = json.dumps(rec)

@@ -142,6 +142,52 @@ class TestPallasEncodeKernel:
         )
 
 
+class TestMxuEncode:
+    """Kronecker-factored MXU transform (ops/butterfly.py
+    polar_transform_mxu): bit-exact vs the stage butterfly, and the
+    encoder's large-N fast-path dispatch matches the XLA encoder."""
+
+    @pytest.mark.parametrize("n_len", [128, 1024, 4096])
+    def test_transform_matches_butterfly(self, n_len, rng):
+        from polar_codes_tpu.ops.butterfly import polar_transform_mxu
+
+        u = rng.integers(0, 2, (8, n_len)).astype(np.uint8)
+        got = np.asarray(
+            polar_transform_mxu(jnp.asarray(u))
+        ).astype(np.uint8)
+        want = np.asarray(butterfly_transform(jnp.asarray(u)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_transform_explicit_split(self, rng):
+        from polar_codes_tpu.ops.butterfly import polar_transform_mxu
+
+        u = rng.integers(0, 2, (4, 512)).astype(np.uint8)
+        want = np.asarray(butterfly_transform(jnp.asarray(u)))
+        for inner in (64, 128, 512):
+            got = np.asarray(
+                polar_transform_mxu(jnp.asarray(u), inner)
+            ).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("n_len,k_len,systematic",
+                             [(4096, 2048, True), (4096, 2048, False),
+                              (8192, 4096, True)])
+    def test_encoder_large_n_fastpath(self, n_len, k_len, systematic, rng):
+        from polar_codes_tpu.models.detectors import CRC16
+
+        frozen = frozen_bits(n_len, k_len, 0.0)
+        det = CRC16()
+        ref = PolarEncoder(n_len, frozen, systematic=systematic,
+                           detector=det)
+        fast = PolarEncoder(n_len, frozen, systematic=systematic,
+                            detector=det, backend="pallas")
+        info = rng.integers(0, 2, (5, k_len)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(fast.encode(jnp.asarray(info))),
+            np.asarray(ref.encode(jnp.asarray(info))),
+        )
+
+
 class TestPackBits:
     def test_roundtrip_matches_numpy(self, rng):
         bits = rng.integers(0, 2, (3, 64)).astype(np.uint8)

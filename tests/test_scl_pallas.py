@@ -9,45 +9,6 @@ import jax.numpy as jnp
 from polar_codes_tpu.construction import frozen_bits
 from polar_codes_tpu.models.scl import SCLDecoder
 from polar_codes_tpu.models.detectors import CRC16
-from polar_codes_tpu.ops.scl_kernel import build_pallas_decode_paths
-
-
-@pytest.mark.parametrize("n_len,k_len,list_size", [(64, 40, 4), (256, 128, 8)])
-def test_interpret_matches_xla(n_len, k_len, list_size, rng):
-    frozen = frozen_bits(n_len, k_len, 0.0)
-    dec = SCLDecoder(n_len, frozen, list_size=list_size, detector=CRC16())
-    fn = build_pallas_decode_paths(dec, batch_tile=8, interpret=True)
-    llr = jnp.asarray(rng.normal(0, 2, (16, n_len)), jnp.float32)
-    cw_ref, m_ref, _ = dec.decode_paths(llr)
-    cw, m = fn(llr)
-    np.testing.assert_allclose(
-        np.asarray(m), np.asarray(m_ref), rtol=1e-5, atol=1e-5
-    )
-    np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
-
-
-def test_interpret_all_leaf_kinds(rng):
-    # a code whose tree exercises rate0/rate1/rep/spc/enum leaves at once
-    n_len = 64
-    frozen = sorted(
-        set(
-            list(range(16))            # rate-0 subtree
-            + [16, 17, 18, 20, 24]     # mixed -> enum leaves
-            + [32, 33, 34, 35, 36, 37, 38]  # rep-ish
-            + [48]                     # spc-ish
-        )
-    )
-    dec = SCLDecoder(n_len, frozen, list_size=4, enum_span=8, max_enum_k=3)
-    kinds = {leaf.kind.value for leaf in dec.tree.leaves()}
-    fn = build_pallas_decode_paths(dec, batch_tile=8, interpret=True)
-    llr = jnp.asarray(rng.normal(0, 2, (8, n_len)), jnp.float32)
-    cw_ref, m_ref, _ = dec.decode_paths(llr)
-    cw, m = fn(llr)
-    np.testing.assert_allclose(
-        np.asarray(m), np.asarray(m_ref), rtol=1e-5, atol=1e-5
-    )
-    np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw_ref))
-    assert len(kinds) >= 3  # tree actually mixes leaf types
 
 
 class TestBatchOnLanesKernel:
@@ -255,6 +216,27 @@ class TestBitplaneState:
         em = _BlEmitter.__new__(_BlEmitter)
         u = em._packed_bipolar(packed, w, jnp.float32)
         np.testing.assert_array_equal(np.asarray(u), 1.0 - 2.0 * b01)
+
+    def test_bitplane_rejects_list_over_32(self):
+        """One i32 word holds 32 path planes; L>32 must refuse bitplane
+        (and the auto-default must not pick it) rather than silently
+        dropping decision bits in shifts past the word width."""
+        from polar_codes_tpu.ops.scl_kernel_bl import (
+            build_bl_hybrid_decode_paths,
+        )
+
+        frozen = frozen_bits(64, 32, 0.0)
+        dec = SCLDecoder(64, frozen, list_size=64, detector=CRC16())
+        with pytest.raises(ValueError, match="bitplane"):
+            build_bl_hybrid_decode_paths(
+                dec, batch_tile=8, kernel_span=32, interpret=True,
+                bitplane=True,
+            )
+        # auto-default at L=64 must choose the select-chain path
+        fn = build_bl_hybrid_decode_paths(
+            dec, batch_tile=8, kernel_span=32, interpret=True,
+        )
+        assert fn is not None
 
     @pytest.mark.parametrize("list_size", [4, 8])
     def test_bitplane_onoff_identical(self, list_size, rng):
