@@ -30,7 +30,11 @@ from .strategies import (
     get_frozen_bit_generator,
 )
 from .channel_tools import ebn0_to_sigma, sigma_to_ebn0, ebn0_to_esn0_linear
-from .analysis import read_results_csv, summarize_results
+from .analysis import (read_results_csv, summarize_results,
+                       merge_results, parse_bench_name,
+                       load_benchmark_jsonl, compare_grids,
+                       plot_bler_overlay, plot_fer_throughput_combo,
+                       plot_grid_throughput)
 from .visualize import render_tree_text, render_tree_figure
 
 __all__ = [

@@ -45,6 +45,17 @@ def main():
                 dec, batch_tile=dec._PALLAS_TILE,
                 kernel_span=256, state_dtype=jnp.bfloat16,
             )
+        elif arm == "pallas_nobp":
+            # bitplane OFF (the pre-r3 select-chain bit state): paired
+            # against the default 'pallas' arm (bitplane on at L>=8)
+            # to requalify the bitplane path's BLER on hardware
+            from polar_codes_tpu.ops.scl_kernel_bl import (
+                build_bl_hybrid_decode_paths,
+            )
+            dec._pallas_fn = build_bl_hybrid_decode_paths(
+                dec, batch_tile=dec._PALLAS_TILE,
+                kernel_span=512, bitplane=False,
+            )
         return dec
 
     arms = sys.argv[1:] or ["xla", "pallas", "pallas_bf16"]

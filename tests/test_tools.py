@@ -149,6 +149,68 @@ class TestAnalysis:
         np.testing.assert_allclose(curves[key]["ebn0"], [1.0, 2.0, 3.0])
         assert curves[key]["bler"][0] == pytest.approx(0.1)
 
+    def test_merge_results_weights_by_runs(self, tmp_path):
+        from polar_codes_tpu.sim.montecarlo import JobResult, write_csv
+
+        a = os.path.join(tmp_path, "a_single.csv")
+        b = os.path.join(tmp_path, "b_single.csv")
+        write_csv(a, [JobResult(N=128, K=64, designSNR=0, errorDetection=8,
+                                L=4, EbN0=2.0, BLER=0.1, runs=1000,
+                                errors=100)])
+        write_csv(b, [JobResult(N=128, K=64, designSNR=0, errorDetection=8,
+                                L=4, EbN0=2.0, BLER=0.4, runs=3000,
+                                errors=1200)])
+        merged = tools.merge_results([tools.read_results_csv(a),
+                                      tools.read_results_csv(b)])
+        assert len(merged) == 1
+        # counts-weighted: (0.1*1000 + 0.4*3000) / 4000
+        assert merged[0]["BLER"] == pytest.approx(0.325)
+        assert merged[0]["Runs"] == 4000
+
+    def test_parse_bench_name(self):
+        got = tools.parse_bench_name("cascl_pallas_n1024_l8_crc0")
+        assert got == {"family": "cascl", "dtype": "pallas", "N": 1024,
+                       "L": 8, "variant": "crc0"}
+        got = tools.parse_bench_name("encode_n131072_crc16")
+        assert got["N"] == 131072 and got["family"] == "encode_n131072_crc16" or got["N"] == 131072
+
+    def test_grid_jsonl_load_compare(self, tmp_path):
+        import json as _json
+
+        path_a = os.path.join(tmp_path, "a.jsonl")
+        path_b = os.path.join(tmp_path, "b.jsonl")
+        rows_a = [dict(bench="cascl_pallas_n1024_l8", N=1024, K=512,
+                       info_thr_mbps=800.0),
+                  dict(bench="flaky_row", error="boom"),
+                  dict(bench="flaky_row", N=64, K=32,
+                       info_thr_mbps=5.0)]
+        rows_b = [dict(bench="cascl_pallas_n1024_l8", N=1024, K=512,
+                       info_thr_mbps=1200.0)]
+        with open(path_a, "w") as fh:
+            fh.write("\n".join(_json.dumps(r) for r in rows_a))
+        with open(path_b, "w") as fh:
+            fh.write("\n".join(_json.dumps(r) for r in rows_b))
+        loaded_a = tools.load_benchmark_jsonl(path_a)
+        # the measured retry must win over the earlier error row
+        flaky = [r for r in loaded_a if r["bench"] == "flaky_row"][0]
+        assert "error" not in flaky
+        recs = tools.compare_grids(loaded_a,
+                                   tools.load_benchmark_jsonl(path_b))
+        assert len(recs) == 1
+        assert recs[0]["ratio"] == pytest.approx(1.5)
+
+    def test_overlay_figure_renders(self, tmp_path):
+        from polar_codes_tpu.sim.montecarlo import JobResult, write_csv
+
+        a = os.path.join(tmp_path, "a_single.csv")
+        write_csv(a, [JobResult(N=128, K=64, designSNR=0, errorDetection=8,
+                                L=4, EbN0=e, BLER=0.1 / (i + 1), runs=100)
+                      for i, e in enumerate((1.0, 2.0))])
+        out = os.path.join(tmp_path, "f.png")
+        rows = tools.read_results_csv(a)
+        tools.plot_bler_overlay(rows, rows, path=out)
+        assert os.path.getsize(out) > 0
+
     def test_zero_rates_floored(self, tmp_path):
         from polar_codes_tpu.sim.montecarlo import JobResult, write_csv
 
