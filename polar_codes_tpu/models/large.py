@@ -435,6 +435,14 @@ class LargeSCLDecoder(SCLDecoder):
     expansion per chunk instead of one prune per bit; ~half the chunks are
     pure at production shapes. `fast_chunks=False` keeps the fully exact
     per-bit decoder.
+
+    `subblock` (default 16, requires fast_chunks) extends the same
+    dispatch INTO mixed chunks: the per-bit recursion stops at that span
+    and a runtime switch on host-classified sub-block codes applies the
+    SSCL leaf rules to pure sub-blocks — in the transition band only
+    ~25-40% of sub-blocks are truly mixed, so the dominant per-bit
+    fork+prune work drops ~3x while the scan program (and the single
+    Pallas chunk kernel) stays mask-generic.
     """
 
     def __init__(
@@ -448,6 +456,7 @@ class LargeSCLDecoder(SCLDecoder):
         chunk: int = 256,
         fast_chunks: bool = True,
         backend: str = "xla",
+        subblock: Optional[int] = 16,
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
@@ -485,6 +494,22 @@ class LargeSCLDecoder(SCLDecoder):
             block_length, self.frozen, chunk
         )
         self._outer_stages = n - _check_pow2(chunk, "chunk")
+        # sub-block class dispatch inside mixed chunks (SSCL leaf rules
+        # for pure sub-blocks); same approximation class as fast_chunks,
+        # so it shares its gates (and int8 saturation-parity exclusion)
+        if (subblock and self.fast_chunks and not self._int8
+                and subblock < chunk):
+            _check_pow2(subblock, "subblock")
+            self.subblock = int(subblock)
+            self._sub_classes = np.stack([
+                _classify_chunks(list(m.reshape(-1, self.subblock)))
+                for m in self._mask_chunks
+            ])  # [T, chunk // subblock] int32
+        else:
+            self.subblock = None
+            self._sub_classes = np.zeros(
+                (len(self._mask_chunks), 1), np.int32
+            )
 
     # ---- shared chunk decoder ---------------------------------------------
 
@@ -510,25 +535,34 @@ class LargeSCLDecoder(SCLDecoder):
         bits = jnp.where(frozen, jnp.ones_like(bits), bits)
         return bits, src, new_metrics
 
-    def _chunk_scl(self, llr, mask, metrics):
+    def _chunk_scl(self, llr, mask, metrics, sub_cls=None, lo=0):
         """Generic bitwise SCL over one chunk: llr [B, L, m], mask [m].
 
         Returns (x bipolar [B, L, m], perm, metrics) exactly like
-        SCLDecoder._decode_node."""
+        SCLDecoder._decode_node. With sub_cls (per-sub-block class codes,
+        [m // subblock] traced int32) the recursion stops at
+        self.subblock and dispatches pure sub-blocks to the SSCL leaf
+        rules (mirrors the in-kernel switch of
+        ops/large_kernel.py:build_masked_scl_chunk_kernel)."""
         m = llr.shape[-1]
+        if (sub_cls is not None and self.subblock is not None
+                and m == self.subblock):
+            return self._subblock_switch_scl(
+                sub_cls[lo // self.subblock], llr, mask, metrics
+            )
         if m == 1:
             return self._leaf_bit(llr, metrics, mask[0])
         f_fn, g_fn = self._fg()
         half = m // 2
         a, b = llr[..., :half], llr[..., half:]
         left_bits, p_left, metrics = self._chunk_scl(
-            f_fn(a, b), mask[:half], metrics
+            f_fn(a, b), mask[:half], metrics, sub_cls, lo
         )
         if p_left is not None:
             llr_g = _apply_perm(llr, p_left)
             a, b = llr_g[..., :half], llr_g[..., half:]
         right_bits, p_right, metrics = self._chunk_scl(
-            g_fn(a, b, left_bits), mask[half:], metrics
+            g_fn(a, b, left_bits), mask[half:], metrics, sub_cls, lo + half
         )
         if p_right is not None:
             left_bits = _apply_perm(left_bits, p_right)
@@ -536,20 +570,60 @@ class LargeSCLDecoder(SCLDecoder):
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
         return bits, perm, metrics
 
-    def _chunk_switch_scl(self, cls, llr, mask, metrics):
-        """Dispatch one chunk: pure classes take the SSCL leaf rules
-        (SCLDecoder._leaf_*), mixed chunks the exact per-bit recursion.
-        Every branch returns a concrete [B, L] source perm so the switch
-        output is uniform (the mixed branch prunes at every bit, so its
-        perm is always concrete; rate0 contributes the identity)."""
+    def _subblock_switch_scl(self, cls, llr, mask, metrics):
+        """Class-dispatched sub-block inside a mixed chunk: llr
+        [B, L, subblock]. Uniform concrete (bits, perm, metrics) out."""
         n_list = self.list_size
+
+        def identity_perm(mets):
+            return jnp.broadcast_to(
+                jnp.arange(n_list, dtype=jnp.int32), mets.shape
+            )
+
+        def concrete(out):
+            bits, perm, mets = out
+            if perm is None:
+                perm = identity_perm(mets)
+            return bits, perm.astype(jnp.int32), mets
+
+        def mixed(l, m, mets):
+            return concrete(self._chunk_scl(l, m, mets))
+
+        def rate0(l, m, mets):
+            return concrete(self._leaf_rate0(l, mets))
+
+        def rate1(l, m, mets):
+            return concrete(self._leaf_rate1(l, mets))
+
+        def rep(l, m, mets):
+            return concrete(self._leaf_rep(l, mets))
+
+        def spc(l, m, mets):
+            return concrete(self._leaf_spc(l, mets))
+
+        return jax.lax.switch(
+            cls, [mixed, rate0, rate1, rep, spc], llr, mask, metrics
+        )
+
+    def _chunk_switch_scl(self, cls, llr, mask, metrics, sub_cls=None):
+        """Dispatch one chunk: pure classes take the SSCL leaf rules
+        (SCLDecoder._leaf_*), mixed chunks the exact per-bit recursion
+        (with the sub-block class dispatch when enabled). Every branch
+        returns a concrete [B, L] source perm so the switch output is
+        uniform (the mixed branch prunes at every bit, so its perm is
+        always concrete; rate0 contributes the identity)."""
+        n_list = self.list_size
+        if sub_cls is None:
+            sub_cls = jnp.zeros(
+                (self._sub_classes.shape[1],), jnp.int32
+            )
 
         def identity_perm(m):
             return jnp.broadcast_to(
                 jnp.arange(n_list, dtype=jnp.int32), m.shape
             )
 
-        def mixed(l, m, mets):
+        def mixed(l, m, mets, sc):
             if self.backend == "pallas":
                 if self._chunk_kernel is None:
                     from ..ops.large_kernel import (
@@ -557,20 +631,27 @@ class LargeSCLDecoder(SCLDecoder):
                     )
 
                     self._chunk_kernel = build_masked_scl_chunk_kernel(
-                        self.chunk, n_list, int8=self._int8
+                        self.chunk, n_list, int8=self._int8,
+                        sub=self.subblock,
+                    )
+                if self.subblock is not None:
+                    return self._chunk_kernel(
+                        l, m.astype(jnp.float32), mets, sc
                     )
                 return self._chunk_kernel(l, m.astype(jnp.float32), mets)
-            bits, perm, mets = self._chunk_scl(l, m, mets)
+            bits, perm, mets = self._chunk_scl(
+                l, m, mets, sc if self.subblock is not None else None
+            )
             if perm is None:  # degenerate: chunk with no prune at all
                 perm = identity_perm(mets)
             return bits, perm, mets
 
-        def rate0(l, m, mets):
+        def rate0(l, m, mets, sc):
             bits, _, mets = self._leaf_rate0(l, mets)
             return bits, identity_perm(mets), mets
 
         def wrap(leaf):
-            def body(l, m, mets):
+            def body(l, m, mets, sc):
                 bits, perm, mets = leaf(l, mets)
                 return bits, perm.astype(jnp.int32), mets
             return body
@@ -579,7 +660,7 @@ class LargeSCLDecoder(SCLDecoder):
             cls,
             [mixed, rate0, wrap(self._leaf_rate1), wrap(self._leaf_rep),
              wrap(self._leaf_spc)],
-            llr, mask, metrics,
+            llr, mask, metrics, sub_cls,
         )
 
     # ---- outer scan -------------------------------------------------------
@@ -628,7 +709,8 @@ class LargeSCLDecoder(SCLDecoder):
             )
             bits, _, metrics = self._chunk_switch_scl(
                 jnp.int32(_MIXED), llr_l,
-                jnp.asarray(self._mask_chunks[0]), metrics0
+                jnp.asarray(self._mask_chunks[0]), metrics0,
+                jnp.asarray(self._sub_classes[0]),
             )
             codewords = jnp.signbit(bits).astype(jnp.uint8)
             codewords = codewords.reshape(lead + (n_list, n_len))
@@ -667,7 +749,7 @@ class LargeSCLDecoder(SCLDecoder):
         )
 
         def step(carry, xs):
-            t, mask, cls = xs
+            t, mask, cls, sub_cls = xs
             llrs, bits = carry["llrs"], carry["bits"]
             lag_l, lag_b = carry["lag_l"], carry["lag_b"]
             # downward: f/g refresh only at the stages that trigger at
@@ -711,7 +793,7 @@ class LargeSCLDecoder(SCLDecoder):
             # which is NOT applied to the carries — only the [B, L] lag
             # perms compose with it
             x_chunk, perm, metrics = self._chunk_switch_scl(
-                cls, prev, mask, carry["metrics"]
+                cls, prev, mask, carry["metrics"], sub_cls
             )
             new_lag_l = [_compose_perms(p, perm) for p in new_lag_l]
             lag_b = [_compose_perms(p, perm) for p in lag_b]
@@ -754,6 +836,7 @@ class LargeSCLDecoder(SCLDecoder):
             jnp.arange(n_chunks),
             jnp.asarray(self._mask_chunks),
             jnp.asarray(classes),
+            jnp.asarray(self._sub_classes),
         )
         final, (segs, qs) = jax.lax.scan(step, init, xs)
         # chunk segments were emitted in the path order current at their

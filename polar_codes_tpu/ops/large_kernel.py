@@ -36,16 +36,32 @@ from .fg import f_minsum, g_update, f_minsum_sat, g_update_sat
 def build_masked_scl_chunk_kernel(chunk: int, n_list: int,
                                   int8: bool = False,
                                   batch_tile: int = 128,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  sub: int | None = None):
     """Mask-driven bitwise-SCL chunk as one VMEM kernel.
 
-    Returns fn(llr [B, L, M] f32, mask01 [M] f32, metrics [B, L] f32) ->
-    (bits [B, L, M] bipolar f32, perm [B, L] int32, metrics' [B, L]) — the
-    fused rendering of LargeSCLDecoder._chunk_scl: every span-1 leaf runs
-    the uniform 2-candidate prune of LargeSCLDecoder._leaf_bit (frozen
-    bits kill the flip candidate with the inactive-slot metric), branches
-    compose the path perms exactly like the [L, span, B] subtree kernels
-    (ops/scl_kernel_bl.py machinery, reused here)."""
+    Returns fn(llr [B, L, M] f32, mask01 [M] f32, metrics [B, L] f32
+    [, sub_cls [M//sub] i32]) -> (bits [B, L, M] bipolar f32, perm
+    [B, L] int32, metrics' [B, L]) — the fused rendering of
+    LargeSCLDecoder._chunk_scl: every span-1 leaf runs the uniform
+    2-candidate prune of LargeSCLDecoder._leaf_bit (frozen bits kill the
+    flip candidate with the inactive-slot metric), branches compose the
+    path perms exactly like the [L, span, B] subtree kernels
+    (ops/scl_kernel_bl.py machinery, reused here).
+
+    sub (e.g. 16) enables SUB-BLOCK CLASS DISPATCH: the recursion stops
+    at span `sub` and a runtime `lax.switch` on that sub-block's class
+    code (host-classified per chunk, scalar in SMEM, uniform over the
+    batch) picks between the per-bit recursion and the SSCL leaf rules
+    of the flagship emitter (rate0 / rate1-4cand / rep / spc-8cand,
+    _BlEmitter.leaf_*). In the transition band only ~25-40% of sub-blocks
+    are truly mixed (the rest are pure), so the dominant per-bit
+    fork+prune work is genuinely SKIPPED — scalar conds are real control
+    flow on TPU — while the kernel stays mask-generic: ONE Mosaic
+    compile serves all chunks (the per-mask-specialized alternative
+    needs ~50 kernel compiles at N=32768). Matches the XLA path's
+    identical dispatch in LargeSCLDecoder (same leaf rules, same prune
+    order), so interpret mode stays bit-for-bit."""
     from types import SimpleNamespace
 
     from .scl_kernel_bl import _BlEmitter, _take_state, _compose0, _iota
@@ -73,18 +89,56 @@ def build_masked_scl_chunk_kernel(chunk: int, n_list: int,
         bits = jnp.where(frozen[None, None, :], jnp.ones_like(bits), bits)
         return bits, src, new_metrics
 
-    def node(llr, mask, metrics):
+    def ident_perm():
+        return _iota((n_list, batch_tile), 0)
+
+    def subblock_switch(cls, llr, mask, metrics):
+        """Class-dispatched sub-block: llr [w, sub, B]. Every branch
+        returns the same concrete (bits, perm [w, B], metrics) pytree."""
+
+        def concrete(out):
+            bits, src, mets = out
+            if src is None:
+                src = ident_perm()
+            return bits, src, mets
+
+        def b_mixed():
+            return concrete(node(llr, mask, metrics))
+
+        def b_rate0():
+            return concrete(emitter.leaf_rate0(llr, metrics))
+
+        def b_rate1():
+            return concrete(emitter.leaf_rate1(llr, metrics))
+
+        def b_rep():
+            return concrete(emitter.leaf_rep(llr, metrics))
+
+        def b_spc():
+            return concrete(emitter.leaf_spc(llr, metrics))
+
+        return jax.lax.switch(
+            cls, [b_mixed, b_rate0, b_rate1, b_rep, b_spc]
+        )
+
+    def node(llr, mask, metrics, sub_cls=None, lo=0):
         span = llr.shape[1]
         if span == 1:
             return leaf(llr, mask, metrics)
+        if sub is not None and span == sub and sub_cls is not None:
+            return subblock_switch(
+                sub_cls[lo // sub], llr, mask, metrics
+            )
         half = span // 2
         a, b = llr[:, :half, :], llr[:, half:, :]
-        left_bits, p_left, metrics = node(f_fn(a, b), mask[:half], metrics)
+        left_bits, p_left, metrics = node(
+            f_fn(a, b), mask[:half], metrics, sub_cls, lo
+        )
         if p_left is not None:
             llr_g = _take_state(llr, p_left)
             a, b = llr_g[:, :half, :], llr_g[:, half:, :]
         right_bits, p_right, metrics = node(
-            g_fn(a, b, left_bits), mask[half:], metrics
+            g_fn(a, b, left_bits), mask[half:], metrics, sub_cls, lo + half
         )
         if p_right is not None:
             left_bits = _take_state(left_bits, p_right)
@@ -92,16 +146,26 @@ def build_masked_scl_chunk_kernel(chunk: int, n_list: int,
         bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=1)
         return bits, perm, metrics
 
-    def kernel(llr_ref, mask_ref, met_ref, bits_ref, perm_ref, out_met_ref):
+    def kernel(*refs):
+        if sub is not None:
+            sub_cls_ref, llr_ref, mask_ref, met_ref = refs[:4]
+            bits_ref, perm_ref, out_met_ref = refs[4:]
+            sub_cls = sub_cls_ref
+        else:
+            llr_ref, mask_ref, met_ref = refs[:3]
+            bits_ref, perm_ref, out_met_ref = refs[3:]
+            sub_cls = None
         metrics = met_ref[...].T  # [w, B]
-        bits, perm, metrics = node(llr_ref[...], mask_ref[...], metrics)
+        bits, perm, metrics = node(
+            llr_ref[...], mask_ref[...], metrics, sub_cls
+        )
         if perm is None:
-            perm = _iota((n_list, batch_tile), 0)
+            perm = ident_perm()
         bits_ref[...] = bits
         perm_ref[...] = perm.T
         out_met_ref[...] = metrics.T
 
-    def fn(llr, mask01, metrics):
+    def fn(llr, mask01, metrics, sub_cls=None):
         n_batch = llr.shape[0]
         pad = (-n_batch) % batch_tile
         if pad:
@@ -124,10 +188,18 @@ def build_masked_scl_chunk_kernel(chunk: int, n_list: int,
                                  memory_space=pltpu.VMEM)
         vec_spec = pl.BlockSpec((batch_tile, n_list), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+        in_specs = [state_spec, mask_spec, vec_spec]
+        args = [jnp.transpose(llr, (1, 2, 0)).astype(jnp.float32), mask_b,
+                metrics]
+        if sub is not None:
+            if sub_cls is None:
+                raise ValueError("sub-block kernel needs sub_cls codes")
+            in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+            args.insert(0, sub_cls.astype(jnp.int32))
         bits, perm, out_met = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[state_spec, mask_spec, vec_spec],
+            in_specs=in_specs,
             out_specs=[state_spec, vec_spec, vec_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((n_list, chunk, n_pad), jnp.float32),
@@ -135,8 +207,7 @@ def build_masked_scl_chunk_kernel(chunk: int, n_list: int,
                 jax.ShapeDtypeStruct((n_pad, n_list), jnp.float32),
             ],
             interpret=interpret,
-        )(jnp.transpose(llr, (1, 2, 0)).astype(jnp.float32), mask_b,
-          metrics)
+        )(*args)
         bits = jnp.transpose(bits, (2, 0, 1))  # [Bp, L, M]
         if pad:
             bits, perm, out_met = (
