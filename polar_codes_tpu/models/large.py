@@ -72,6 +72,7 @@ from ..ops.fg import (
     g_update_sat,
 )
 from .detectors import Detector, Dummy
+from .tree import CodeNode, NodeKind, build_tree
 from .scl import (
     SCLDecoder,
     _NEG,
@@ -457,9 +458,13 @@ class LargeSCLDecoder(SCLDecoder):
         fast_chunks: bool = True,
         backend: str = "xla",
         subblock: Optional[int] = 16,
+        schedule: Optional[str] = None,
+        unroll: int = 8,
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
+        _check_pow2(unroll, "unroll")
+        self.unroll = int(unroll)
         # deliberately NOT calling SCLDecoder.__init__: it builds the
         # unrolled specialized tree, which is exactly what this class
         # exists to avoid at large N.
@@ -489,6 +494,21 @@ class LargeSCLDecoder(SCLDecoder):
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend
+        # schedule: "tree" unrolls the outer levels as straight-line XLA
+        # (no lax.scan/cond — measured r4: every per-step cond/switch
+        # round-trips the ~[B, L, 2N] carried stage buffers through HBM,
+        # 156 ms/batch at N=32768 L=8 B=128 while the chunk kernels
+        # account for ~5 ms). It is the right program for direct-attached
+        # TPU hosts, but the tunneled dev environment's remote compiler
+        # SIGKILLs its large module (and pays ~25 s per pallas_call
+        # site), so the DEFAULT stays "scan" — the bounded
+        # O(unroll*chunk + log N) program — with the cond-copy cost
+        # attacked by static intra-body unrolling (see decode_paths).
+        if schedule is None:
+            schedule = "scan"
+        if schedule not in ("tree", "scan"):
+            raise ValueError(f"unknown schedule {schedule}")
+        self.schedule = schedule
         self._chunk_kernel = None
         self._mask_chunks = _frozen_mask_chunks(
             block_length, self.frozen, chunk
@@ -663,6 +683,122 @@ class LargeSCLDecoder(SCLDecoder):
             llr, mask, metrics, sub_cls,
         )
 
+    # ---- unrolled tree schedule ------------------------------------------
+
+    def _chunk_scl_static(self, llr, mask_np, metrics):
+        """_chunk_scl with a TRACE-TIME mask (the unrolled tree schedule
+        knows each chunk's frozen set statically): same ops, same prune
+        order — jnp.where on Python bools constant-folds — so it stays
+        bit-identical to the mask-as-data kernel. Sub-block classes
+        dispatch as plain Python branches instead of lax.switch."""
+        m = llr.shape[-1]
+        if self.subblock is not None and m == self.subblock:
+            cls = int(_classify_chunks([mask_np])[0])
+            if cls != _MIXED:
+                leaf = {_RATE0: self._leaf_rate0,
+                        _RATE1: self._leaf_rate1,
+                        _REP: self._leaf_rep,
+                        _SPC: self._leaf_spc}[cls]
+                return leaf(llr, metrics)
+        if m == 1:
+            return self._leaf_bit(llr, metrics, bool(mask_np[0]))
+        f_fn, g_fn = self._fg()
+        half = m // 2
+        a, b = llr[..., :half], llr[..., half:]
+        left_bits, p_left, metrics = self._chunk_scl_static(
+            f_fn(a, b), mask_np[:half], metrics
+        )
+        if p_left is not None:
+            llr_g = _apply_perm(llr, p_left)
+            a, b = llr_g[..., :half], llr_g[..., half:]
+        right_bits, p_right, metrics = self._chunk_scl_static(
+            g_fn(a, b, left_bits), mask_np[half:], metrics
+        )
+        if p_right is not None:
+            left_bits = _apply_perm(left_bits, p_right)
+        perm = _compose_perms(p_left, p_right)
+        bits = jnp.concatenate([left_bits * right_bits, right_bits], axis=-1)
+        return bits, perm, metrics
+
+    def _tree_chunk(self, node: CodeNode, llr, metrics):
+        """Decode one mixed span-chunk subtree of the unrolled schedule:
+        the ONE shared mask-generic Pallas kernel (mask + sub-classes as
+        operands — every mixed node reuses the same compiled kernel) or
+        the static-mask XLA recursion."""
+        mask_np = np.zeros(node.length, dtype=bool)
+        mask_np[node.frozen] = True
+        if self.backend == "pallas" and node.length == self.chunk:
+            if self._chunk_kernel is None:
+                from ..ops.large_kernel import (
+                    build_masked_scl_chunk_kernel,
+                )
+
+                self._chunk_kernel = build_masked_scl_chunk_kernel(
+                    self.chunk, self.list_size, int8=self._int8,
+                    sub=self.subblock,
+                )
+            mask = jnp.asarray(mask_np, jnp.float32)
+            if self.subblock is not None:
+                sub_cls = jnp.asarray(
+                    _classify_chunks(
+                        list(mask_np.reshape(-1, self.subblock))
+                    ),
+                    jnp.int32,
+                )
+                return self._chunk_kernel(llr, mask, metrics, sub_cls)
+            return self._chunk_kernel(llr, mask, metrics)
+        return self._chunk_scl_static(llr, mask_np, metrics)
+
+    def _decode_paths_tree(self, llr_flat, lead):
+        """Unrolled-tree decode: specialized CodeNode tree (leaf rules at
+        MAXIMAL pure spans — a rate-0 stretch of 2048 is one leaf), f/g
+        glue as straight-line XLA, mixed span-chunk subtrees through
+        _tree_chunk. No lax.scan/cond: nothing forces the [B, L, *] state
+        through HBM copies at control-flow boundaries."""
+        if self.tree is None:
+            self.tree = build_tree(self.block_length, self.frozen)
+        batch = llr_flat.shape[0]
+        n_list = self.list_size
+        metrics = jnp.full((batch, n_list), _NEG, jnp.float32)
+        metrics = metrics.at[:, 0].set(0.0)
+        llr_l = jnp.broadcast_to(
+            llr_flat[:, None, :], (batch, n_list, self.block_length)
+        )
+        f_fn, g_fn = self._fg()
+
+        def rec(node, llr_n, mets):
+            if node.kind != NodeKind.BRANCH:
+                return self._decode_node(node, llr_n, mets)  # leaf rules
+            if node.length <= self.chunk:
+                return self._tree_chunk(node, llr_n, mets)
+            half = node.length // 2
+            a, b = llr_n[..., :half], llr_n[..., half:]
+            left_bits, p_left, mets = rec(node.left, f_fn(a, b), mets)
+            if p_left is not None:
+                llr_g = _apply_perm(llr_n, p_left)
+                a, b = llr_g[..., :half], llr_g[..., half:]
+            right_bits, p_right, mets = rec(
+                node.right, g_fn(a, b, left_bits), mets
+            )
+            if p_right is not None:
+                left_bits = _apply_perm(left_bits, p_right)
+            perm = _compose_perms(p_left, p_right)
+            bits = jnp.concatenate(
+                [left_bits * right_bits, right_bits], axis=-1
+            )
+            return bits, perm, mets
+
+        bits, _, metrics = rec(self.tree, llr_l, metrics)
+        if self._int8:
+            codewords = (bits < 0).astype(jnp.uint8)
+        else:
+            codewords = jnp.signbit(bits).astype(jnp.uint8)
+        codewords = codewords.reshape(
+            lead + (n_list, self.block_length)
+        )
+        metrics = metrics.reshape(lead + (n_list,))
+        return codewords, metrics, metrics > _ACTIVE_THRESHOLD
+
     # ---- outer scan -------------------------------------------------------
 
     def _combine_chunks(self, xhat):
@@ -686,13 +822,17 @@ class LargeSCLDecoder(SCLDecoder):
     def decode_paths(self, llr):
         """[..., N] LLRs -> (codewords [..., L, N] {0,1}, metrics, active).
 
-        Overrides the unrolled-tree implementation with the outer scan."""
+        schedule="tree": unrolled specialized-tree program (straight-line
+        XLA + the shared chunk kernel). schedule="scan": the
+        O(chunk + log N) outer scan."""
         llr = jnp.asarray(llr)
         llr = llr.astype(jnp.float32) if self._int8 else llr.astype(self.dtype)
         if self._int8:
             llr = jnp.clip(llr, -127.0, 127.0)
         lead = llr.shape[:-1]
         flat = llr.reshape((-1, self.block_length))
+        if self.schedule == "tree" and not self._int8:
+            return self._decode_paths_tree(flat, lead)
         batch = flat.shape[0]
         n_len, m_len = self.block_length, self.chunk
         n_list = self.list_size
@@ -748,46 +888,88 @@ class LargeSCLDecoder(SCLDecoder):
             else np.full(n_chunks, _MIXED, np.int32)
         )
 
-        def step(carry, xs):
-            t, mask, cls, sub_cls = xs
+        # Static intra-body unrolling: the scan body decodes U chunks,
+        # t = U*i + j with j a PYTHON constant. For every stage with
+        # period 2^(n_outer-s) < U the refresh trigger AND the f/g choice
+        # depend only on j — straight-line code, no lax.cond — and every
+        # step but the last has a static climb depth tz(j+1). Measured
+        # r4 motivation: each lax.cond/switch in the body round-trips its
+        # carried [B, L, span] operands through HBM (the per-step
+        # dynamic version spent 156 ms/batch at N=32768 L=8 B=128 while
+        # chunk compute was ~5 ms); the unroll leaves ONE dynamic
+        # refresh group and ONE dynamic climb per U chunks.
+        # big-span gathers ride the MXU: at these spans the one-hot
+        # contraction reads the payload once vs L times for the select
+        # chain (measured 56.1 -> 32.4 ms/batch at N=32768 L=8 B=128)
+        def take_big(x, perm):
+            return _take_paths(x, perm, mode="einsum")
+
+        u_steps = max(1, min(self.unroll, n_chunks))
+        u_log = u_steps.bit_length() - 1
+        n_blocks = n_chunks // u_steps
+
+        def one_step(carry, i, j, mask, cls, sub_cls):
+            """One chunk step at t = U*i + j (j static)."""
             llrs, bits = carry["llrs"], carry["bits"]
             lag_l, lag_b = carry["lag_l"], carry["lag_b"]
-            # downward: f/g refresh only at the stages that trigger at
-            # step t (lax.cond — the predicated-where version computed f
-            # AND g at every stage every step; see LargeSCDecoder.step).
-            # A g-refresh reads its parent/bits buffers through their lag
-            # perms (they were written on an earlier step); an f-refresh
-            # chains from the parent refreshed THIS step (a stage only
-            # refreshes as a left child when its parent triggers too).
             prev = chan
             new_llrs = []
             new_lag_l = []
             for s in range(1, n_outer + 1):
-                node = t >> (n_outer - s)
-                need = (t & ((1 << (n_outer - s)) - 1)) == 0
+                period = 1 << (n_outer - s)
+                span = n_len >> s
 
-                def refresh(prev=prev, s=s, node=node):
-                    span = n_len >> s
+                def do_g(s=s, span=span):
+                    par = (chan if s == 1 else
+                           take_big(llrs[s - 2], lag_l[s - 2]))
+                    a, b = par[..., :span], par[..., span:]
+                    return g_fn(
+                        a, b, take_big(bits[s - 1], lag_b[s - 1])
+                    )
 
-                    def do_g():
-                        par = (chan if s == 1 else
-                               _take_paths(llrs[s - 2], lag_l[s - 2]))
-                        a, b = par[..., :span], par[..., span:]
-                        return g_fn(
-                            a, b, _take_paths(bits[s - 1], lag_b[s - 1])
+                def do_f(prev=prev, span=span):
+                    a, b = prev[..., :span], prev[..., span:]
+                    return f_fn(a, b)
+
+                if period < u_steps:
+                    # trigger + f/g choice static in j
+                    if j % period == 0:
+                        parity = (j >> (n_outer - s)) & 1
+                        cur = do_g() if parity else do_f()
+                        new_lag_l.append(id_perm)
+                    else:
+                        cur = llrs[s - 1]
+                        new_lag_l.append(lag_l[s - 1])
+                elif period == u_steps:
+                    if j == 0:
+                        # always triggers; f/g parity = bit 0 of i
+                        cur = jax.lax.cond((i & 1) == 1, do_g, do_f)
+                        new_lag_l.append(id_perm)
+                    else:
+                        cur = llrs[s - 1]
+                        new_lag_l.append(lag_l[s - 1])
+                else:  # period > U: trigger possible only at j == 0
+                    if j == 0:
+                        rel = period // u_steps
+                        rel_log = rel.bit_length() - 1
+                        need = (i & (rel - 1)) == 0
+
+                        def refresh(rel_log=rel_log):
+                            node = i >> rel_log
+                            return jax.lax.cond(
+                                (node & 1) == 1, do_g, do_f
+                            )
+
+                        cur = jax.lax.cond(
+                            need, refresh, lambda s=s: llrs[s - 1]
                         )
-
-                    def do_f(prev=prev):
-                        a, b = prev[..., :span], prev[..., span:]
-                        return f_fn(a, b)
-
-                    return jax.lax.cond((node & 1) == 1, do_g, do_f)
-
-                cur = jax.lax.cond(
-                    need, refresh, lambda s=s: llrs[s - 1]
-                )
+                        new_lag_l.append(
+                            jnp.where(need, id_perm, lag_l[s - 1])
+                        )
+                    else:
+                        cur = llrs[s - 1]
+                        new_lag_l.append(lag_l[s - 1])
                 new_llrs.append(cur)
-                new_lag_l.append(jnp.where(need, id_perm, lag_l[s - 1]))
                 prev = cur
             # chunk decode; all within-chunk forks compose into one perm,
             # which is NOT applied to the carries — only the [B, L] lag
@@ -797,21 +979,15 @@ class LargeSCLDecoder(SCLDecoder):
             )
             new_lag_l = [_compose_perms(p, perm) for p in new_lag_l]
             lag_b = [_compose_perms(p, perm) for p in lag_b]
-            # upward: switch on trailing_ones(t) — branch k performs
-            # exactly the k combines and one store that step t needs,
-            # gathering each climbed left-sibling through its lag
-            lsb = (t + 1) & -(t + 1)
-            k_climb = jnp.round(jnp.log2(lsb.astype(jnp.float32)))
-            k_climb = jnp.minimum(k_climb.astype(jnp.int32), n_outer)
 
             def up_branch(k):
                 def branch():
                     nb = list(bits)
                     nlb = list(lag_b)
                     cur = x_chunk
-                    for i in range(k):
-                        s = n_outer - i
-                        left = _take_paths(nb[s - 1], nlb[s - 1])
+                    for c in range(k):
+                        s = n_outer - c
+                        left = take_big(nb[s - 1], nlb[s - 1])
                         cur = jnp.concatenate([left * cur, cur], axis=-1)
                     if k < n_outer:
                         nb[n_outer - k - 1] = cur
@@ -820,9 +996,20 @@ class LargeSCLDecoder(SCLDecoder):
 
                 return branch
 
-            new_bits, new_lag_b = jax.lax.switch(
-                k_climb, [up_branch(k) for k in range(n_outer + 1)]
-            )
+            if j < u_steps - 1:
+                # climb depth tz(j+1): static
+                k_static = ((j + 1) & -(j + 1)).bit_length() - 1
+                new_bits, new_lag_b = up_branch(k_static)()
+            else:
+                # t+1 = U*(i+1): depth u_log + tz(i+1), clamped
+                lsb = (i + 1) & -(i + 1)
+                z = jnp.round(jnp.log2(lsb.astype(jnp.float32)))
+                z = jnp.minimum(z.astype(jnp.int32), n_outer - u_log)
+                new_bits, new_lag_b = jax.lax.switch(
+                    z,
+                    [up_branch(min(u_log + zz, n_outer))
+                     for zz in range(n_outer - u_log + 1)],
+                )
             out = dict(
                 llrs=tuple(new_llrs),
                 bits=new_bits,
@@ -832,13 +1019,33 @@ class LargeSCLDecoder(SCLDecoder):
             )
             return out, (x_chunk, perm)
 
+        def body(carry, xs):
+            i, masks, clss, subs = xs
+            outs = []
+            for j in range(u_steps):
+                carry, out = one_step(
+                    carry, i, j, masks[j], clss[j], subs[j]
+                )
+                outs.append(out)
+            return carry, (
+                jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+            )
+
+        n_sub_codes = self._sub_classes.shape[1]
         xs = (
-            jnp.arange(n_chunks),
-            jnp.asarray(self._mask_chunks),
-            jnp.asarray(classes),
-            jnp.asarray(self._sub_classes),
+            jnp.arange(n_blocks),
+            jnp.asarray(self._mask_chunks).reshape(
+                n_blocks, u_steps, m_len
+            ),
+            jnp.asarray(classes).reshape(n_blocks, u_steps),
+            jnp.asarray(self._sub_classes).reshape(
+                n_blocks, u_steps, n_sub_codes
+            ),
         )
-        final, (segs, qs) = jax.lax.scan(step, init, xs)
+        final, (segs_b, qs_b) = jax.lax.scan(body, init, xs)
+        segs = segs_b.reshape((n_chunks,) + segs_b.shape[2:])
+        qs = qs_b.reshape((n_chunks,) + qs_b.shape[2:])
         # chunk segments were emitted in the path order current at their
         # step; map final slots back to each step's slots by composing
         # the LATER chunk perms (reverse scan over tiny [B, L] perms),
@@ -854,7 +1061,7 @@ class LargeSCLDecoder(SCLDecoder):
             )  # [T, B, L]: ms[t] maps final slots -> step-t slots
         else:
             ms = id_perm[None]
-        segs_final = _take_paths(segs, ms)  # [T, B, L, M]
+        segs_final = _take_paths(segs, ms, mode="einsum")  # [T, B, L, M]
         xhat = jnp.moveaxis(segs_final, 0, 2).reshape(
             batch, n_list, n_len
         )

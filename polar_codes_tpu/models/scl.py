@@ -119,7 +119,7 @@ def _top_k(x, k):
     return vals.astype(x.dtype), idx
 
 
-def _take_paths(x, perm):
+def _take_paths(x, perm, mode=None):
     """Gather [..., L, S] state along the list axis by perm [..., L].
 
     Never take_along_axis: XLA lowers gathers on TPU through 1-D s32 index
@@ -127,9 +127,11 @@ def _take_paths(x, perm):
     on v5e). Default is a chain of L lane-wide selects — pure VPU work that
     fuses into the surrounding elementwise ops with no dot_general operand
     relayouts (measured ~15% whole-decoder win over the one-hot einsum at
-    N=1024 L=8). SCL_GATHER=einsum switches back to the one-hot MXU
-    contraction for A/B tests."""
-    if _GATHER_MODE == "select":
+    N=1024 L=8). `mode="einsum"` forces the one-hot MXU contraction —
+    at scan-over-schedule spans (S >= 4096) it reads the payload once
+    instead of L times and wins ~1.7x whole-decoder (r4, N=32768 L=8);
+    SCL_GATHER overrides globally for A/B tests."""
+    if (mode or _GATHER_MODE) == "select":
         n_list = x.shape[-2]
         out = x[..., 0:1, :]
         for k in range(1, n_list):

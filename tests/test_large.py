@@ -248,9 +248,41 @@ class TestLargeSCL:
             )
             np.testing.assert_array_equal(np.asarray(b_k), np.asarray(b_x))
 
+    def test_tree_schedule_pallas_matches_xla_interpret(self, rng,
+                                                        monkeypatch):
+        """The unrolled-tree schedule: shared-kernel (interpret) and
+        static-mask XLA chunk decodes are bit-identical through the
+        whole program."""
+        import polar_codes_tpu.ops.large_kernel as lk
+
+        orig = lk.build_masked_scl_chunk_kernel
+        monkeypatch.setattr(
+            lk, "build_masked_scl_chunk_kernel",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True,
+                                          "batch_tile": 8}),
+        )
+        n_len, k_len = 512, 256
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        det = CRC16()
+        kw = dict(list_size=4, systematic=True, detector=det, chunk=64)
+        dec_x = LargeSCLDecoder(n_len, frozen, schedule="tree", **kw)
+        dec_p = LargeSCLDecoder(n_len, frozen, backend="pallas",
+                                schedule="tree", **kw)
+        llr = rng.normal(0.7, 1.5, (8, n_len)).astype(np.float32)
+        cx, mx, _ = dec_x.decode_paths(jnp.asarray(llr))
+        cp, mp, _ = dec_p.decode_paths(jnp.asarray(llr))
+        np.testing.assert_array_equal(np.asarray(cp), np.asarray(cx))
+        np.testing.assert_allclose(np.asarray(mp), np.asarray(mx),
+                                   atol=1e-4)
+        ix, _, okx = dec_x.decode(jnp.asarray(llr))
+        ip, _, okp = dec_p.decode(jnp.asarray(llr))
+        np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+        np.testing.assert_array_equal(np.asarray(okp), np.asarray(okx))
+
     def test_pallas_scl_backend_end_to_end_interpret(self, rng, monkeypatch):
-        """LargeSCLDecoder(backend='pallas') equals the XLA backend through
-        the outer scan, CRC-aided decode included (interpret kernels)."""
+        """LargeSCLDecoder(backend='pallas', schedule='scan') equals the
+        XLA backend through the outer scan, CRC-aided decode included
+        (interpret kernels)."""
         import polar_codes_tpu.ops.large_kernel as lk
 
         orig = lk.build_masked_scl_chunk_kernel
@@ -264,7 +296,8 @@ class TestLargeSCL:
         det = CRC16()
         kw = dict(list_size=4, systematic=True, detector=det, chunk=64)
         dec_x = LargeSCLDecoder(n_len, frozen, **kw)
-        dec_p = LargeSCLDecoder(n_len, frozen, backend="pallas", **kw)
+        dec_p = LargeSCLDecoder(n_len, frozen, backend="pallas",
+                                schedule="scan", **kw)
         llr = rng.normal(0.7, 1.5, (8, n_len)).astype(np.float32)
         cx, mx, _ = dec_x.decode_paths(jnp.asarray(llr))
         cp, mp, _ = dec_p.decode_paths(jnp.asarray(llr))
