@@ -459,12 +459,20 @@ class LargeSCLDecoder(SCLDecoder):
         backend: str = "xla",
         subblock: Optional[int] = 16,
         schedule: Optional[str] = None,
-        unroll: int = 8,
+        unroll: int = 16,
+        carry_dtype=None,
     ):
         n = _check_pow2(block_length, "block length")
         chunk = min(chunk, block_length)
         _check_pow2(unroll, "unroll")
         self.unroll = int(unroll)
+        # scan-carry LLR storage: bf16 halves the dominant stage-buffer
+        # traffic (f/g still compute in f32 — ops/fg.py's bitcast f is
+        # f32-only); None keeps the working dtype (f32). Decode decisions
+        # can differ from f32 storage by bf16 rounding of stage LLRs, the
+        # same precision class as the reference's int8 fip_char path.
+        self._carry_dtype = (jnp.dtype(carry_dtype)
+                             if carry_dtype is not None else None)
         # deliberately NOT calling SCLDecoder.__init__: it builds the
         # unrolled specialized tree, which is exactly what this class
         # exists to avoid at large N.
@@ -868,13 +876,17 @@ class LargeSCLDecoder(SCLDecoder):
         # lag only at CONSUMPTION (a stage trigger / an upward climb).
         # The eager version gathered every carried buffer every step —
         # O(N*L) per step, T times the work the lazy-copy DataPool does.
+        # bits buffers carried as {0,1} int8: exact (climb combines are
+        # XOR, g converts once at consumption) at 1/4 the f32 bipolar
+        # carry/gather traffic of the scan's dominant cost
+        cdt = self._carry_dtype or flat.dtype
         init = dict(
             llrs=tuple(
-                jnp.zeros((batch, n_list, n_len >> s), flat.dtype)
+                jnp.zeros((batch, n_list, n_len >> s), cdt)
                 for s in range(1, n_outer + 1)
             ),
             bits=tuple(
-                jnp.zeros((batch, n_list, n_len >> s), flat.dtype)
+                jnp.zeros((batch, n_list, n_len >> s), jnp.int8)
                 for s in range(1, n_outer + 1)
             ),
             lag_l=(id_perm,) * n_outer,
@@ -922,14 +934,18 @@ class LargeSCLDecoder(SCLDecoder):
                 def do_g(s=s, span=span):
                     par = (chan if s == 1 else
                            take_big(llrs[s - 2], lag_l[s - 2]))
+                    par = par.astype(flat.dtype)  # f/g compute in f32
                     a, b = par[..., :span], par[..., span:]
-                    return g_fn(
-                        a, b, take_big(bits[s - 1], lag_b[s - 1])
+                    b01 = take_big(bits[s - 1], lag_b[s - 1])
+                    u = (1.0 - 2.0 * b01.astype(jnp.float32)).astype(
+                        a.dtype
                     )
+                    return g_fn(a, b, u).astype(cdt)
 
                 def do_f(prev=prev, span=span):
-                    a, b = prev[..., :span], prev[..., span:]
-                    return f_fn(a, b)
+                    work = prev.astype(flat.dtype)
+                    a, b = work[..., :span], work[..., span:]
+                    return f_fn(a, b).astype(cdt)
 
                 if period < u_steps:
                     # trigger + f/g choice static in j
@@ -975,20 +991,25 @@ class LargeSCLDecoder(SCLDecoder):
             # which is NOT applied to the carries — only the [B, L] lag
             # perms compose with it
             x_chunk, perm, metrics = self._chunk_switch_scl(
-                cls, prev, mask, carry["metrics"], sub_cls
+                cls, prev.astype(flat.dtype), mask, carry["metrics"],
+                sub_cls
             )
             new_lag_l = [_compose_perms(p, perm) for p in new_lag_l]
             lag_b = [_compose_perms(p, perm) for p in lag_b]
+
+            # climbs combine in {0,1} int8: XOR replaces the bipolar
+            # product and the stored buffers stay 1/4 the f32 size
+            x01 = jnp.where(x_chunk < 0, 1, 0).astype(jnp.int8)
 
             def up_branch(k):
                 def branch():
                     nb = list(bits)
                     nlb = list(lag_b)
-                    cur = x_chunk
+                    cur = x01
                     for c in range(k):
                         s = n_outer - c
                         left = take_big(nb[s - 1], nlb[s - 1])
-                        cur = jnp.concatenate([left * cur, cur], axis=-1)
+                        cur = jnp.concatenate([left ^ cur, cur], axis=-1)
                     if k < n_outer:
                         nb[n_outer - k - 1] = cur
                         nlb[n_outer - k - 1] = id_perm

@@ -278,15 +278,18 @@ def run_row(row, batch_bits, out):
                              else "xla"))
             else:
                 # deferred-perm SCL scan: B=128 marginally beats B=64 at
-                # N=32768 (12.8 vs 11.5 Mbit/s payload)
+                # N=32768 (12.8 vs 11.5 Mbit/s payload). The pallas row
+                # runs the r4 production configuration: bf16 stage-LLR
+                # carry (BLER-identical in the paired A/B, VALIDATION.md)
                 batch = min(max(2 * batch_bits // n_len, 16), 128)
                 det = make_detector(row["C"], "crc")
+                pallas = row["dtype"] == "pallas"
                 dec = LargeSCLDecoder(n_len, frozen, list_size=row["L"],
                                       systematic=True, detector=det,
                                       dtype=dtype,
-                                      backend=("pallas"
-                                               if row["dtype"] == "pallas"
-                                               else "xla"))
+                                      backend="pallas" if pallas else "xla",
+                                      carry_dtype=(jnp.bfloat16 if pallas
+                                                   else None))
         elif kind == "fastssc":
             backend = ("pallas" if row["dtype"].startswith("pallas")
                        else "xla")

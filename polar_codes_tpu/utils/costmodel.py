@@ -236,8 +236,13 @@ def large_costs(decoder, batch: int) -> dict:
     flops = n_list * n_len * stages * (_F + _G + _XOR)
     if n_list > 1:
         flops += steps * n_list * 8 * 4.0  # per-chunk prune/perm algebra
-    # carried partial-LLR/bits state: ~[L, 2N] f32 touched per step is
-    # the HBM reality of a lax.scan carry (measured anti-scaling with B)
-    hbm = steps * n_list * 2.0 * n_len * 4.0 / max(np.log2(steps), 1.0)
+    # control-flow copies of the carried [L, ~2N] stage state happen once
+    # per DYNAMIC group — once per `unroll` chunks after the static
+    # intra-body unrolling (r4) — plus the intrinsic refresh writes
+    unroll = getattr(decoder, "unroll", 1) or 1
+    dyn_groups = max(steps // unroll, 1)
+    bits_bytes = 1.0 if n_list > 1 else 4.0  # SCL bits carried int8
+    hbm = dyn_groups * n_list * n_len * (4.0 + bits_bytes)
+    hbm += stages * n_list * n_len * (4.0 + bits_bytes) / 2.0  # refreshes
     hbm += n_list * n_len * 5.0
     return {"flops": flops * batch, "bytes_accessed": hbm * batch}
