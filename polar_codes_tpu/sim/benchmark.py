@@ -252,9 +252,37 @@ def run_row(row, batch_bits, out):
             backend="pallas" if row["dtype"] == "pallas" else "xla",
         )
         bits = jnp.asarray(rng.integers(0, 2, (batch, k_len)), jnp.uint8)
-        secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
-        roof = roofline(lambda x: enc.encode(x), bits, seconds=secs,
-                        model=enc, batch=batch)
+        if row.get("det") == "cmac":
+            # AES-CMAC is host work in the reference too (cmac.cpp runs
+            # on the CPU); the axon backend cannot run host callbacks
+            # inside device programs, so the row times host CMAC
+            # (numpy) + device butterfly encode and reports the sum.
+            import time as _time
+
+            bits_np = np.asarray(bits)
+            t0 = _time.perf_counter()
+            tails = np.stack([
+                det.compute_np(b[: k_len - det.tail_bits])
+                for b in bits_np
+            ])
+            host_secs = _time.perf_counter() - t0
+            bits = jnp.asarray(
+                np.concatenate(
+                    [bits_np[:, : k_len - det.tail_bits], tails], axis=1
+                )
+            )
+            dev = time_device_fn(
+                lambda x: enc.encode(x, generate_crc=False), bits, reps=8
+            )
+            secs = host_secs + dev
+            roof = roofline(
+                lambda x: enc.encode(x, generate_crc=False), bits,
+                seconds=dev, model=enc, batch=batch,
+            )
+        else:
+            secs = time_device_fn(lambda x: enc.encode(x), bits, reps=8)
+            roof = roofline(lambda x: enc.encode(x), bits, seconds=secs,
+                            model=enc, batch=batch)
     else:
         frozen = frozen_bits(n_len, k_len, row.get("dsnr", 0.0),
                              row.get("ctor", "BB"))
@@ -408,8 +436,13 @@ def main(argv=None):
             try:
                 run_row(row, args.batch_bits, out)
             except Exception as exc:  # noqa: BLE001
-                if "UNAVAILABLE" in str(exc):
-                    raise  # backend loss: let --loop respawn after recovery
+                if ("UNAVAILABLE" in str(exc)
+                        or "TPU backend error" in str(exc)
+                        or "DEADLINE_EXCEEDED" in str(exc)):
+                    # worker loss/crash: every later row would error
+                    # instantly and poison the checkpoint — exit so
+                    # --loop waits out the recovery window and resumes
+                    raise
                 # deterministic row failure (e.g. a kernel rejected by
                 # Mosaic): record it and keep the rest of the grid going
                 line = json.dumps(dict(
