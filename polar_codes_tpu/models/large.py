@@ -517,6 +517,7 @@ class LargeSCLDecoder(SCLDecoder):
         if schedule not in ("tree", "scan"):
             raise ValueError(f"unknown schedule {schedule}")
         self.schedule = schedule
+        self._sched_tree = None
         self._chunk_kernel = None
         self._mask_chunks = _frozen_mask_chunks(
             block_length, self.frozen, chunk
@@ -763,8 +764,12 @@ class LargeSCLDecoder(SCLDecoder):
         glue as straight-line XLA, mixed span-chunk subtrees through
         _tree_chunk. No lax.scan/cond: nothing forces the [B, L, *] state
         through HBM copies at control-flow boundaries."""
-        if self.tree is None:
-            self.tree = build_tree(self.block_length, self.frozen)
+        # NOT self.tree: SCLDecoder.decode gates its flagship pallas
+        # fast path on `self.tree is not None`, and this class must keep
+        # its own decode plumbing (the flagship hybrid needs one Mosaic
+        # compile per subtree — unbuildable at these N on the tunnel)
+        if self._sched_tree is None:
+            self._sched_tree = build_tree(self.block_length, self.frozen)
         batch = llr_flat.shape[0]
         n_list = self.list_size
         metrics = jnp.full((batch, n_list), _NEG, jnp.float32)
@@ -796,7 +801,7 @@ class LargeSCLDecoder(SCLDecoder):
             )
             return bits, perm, mets
 
-        bits, _, metrics = rec(self.tree, llr_l, metrics)
+        bits, _, metrics = rec(self._sched_tree, llr_l, metrics)
         if self._int8:
             codewords = (bits < 0).astype(jnp.uint8)
         else:
