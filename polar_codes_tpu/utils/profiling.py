@@ -103,7 +103,12 @@ def roofline(fn: Callable, *args, seconds: Optional[float] = None,
     flops = float(costs.get("flops", 0.0) or 0.0)
     nbytes = float(costs.get("bytes accessed", 0.0) or 0.0)
     source = "xla"
-    if model is not None and batch and flops <= 0.0:
+    # XLA's cost analysis cannot see inside pallas_call: on pallas
+    # backends it reports only the glue ops (a small, misleading count),
+    # so the hand-derived model takes over whenever the model runs a
+    # pallas fast path — not just when the count is exactly zero.
+    pallas_model = getattr(model, "backend", None) == "pallas"
+    if model is not None and batch and (flops <= 0.0 or pallas_model):
         analytic = analytic_costs(model, batch)
         if analytic is not None:
             flops = analytic["flops"]
