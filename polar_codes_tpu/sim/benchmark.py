@@ -312,10 +312,16 @@ def run_row(row, batch_bits, out):
                 batch = min(max(2 * batch_bits // n_len, 16), 128)
                 det = make_detector(row["C"], "crc")
                 pallas = row["dtype"] == "pallas"
+                # XLA arm: unroll=16 inlines 16 unrolled ~2*chunk-op
+                # chunk bodies per scan step — the tunneled remote
+                # compiler hangs on the module (observed r4); 4 keeps
+                # the module within what it builds while still removing
+                # 3/4 of the per-step cond copies
                 dec = LargeSCLDecoder(n_len, frozen, list_size=row["L"],
                                       systematic=True, detector=det,
                                       dtype=dtype,
                                       backend="pallas" if pallas else "xla",
+                                      unroll=(16 if pallas else 4),
                                       carry_dtype=(jnp.bfloat16 if pallas
                                                    else None))
         elif kind == "fastssc":
