@@ -15,6 +15,106 @@
 #include <cstdint>
 #include <cstring>
 
+#include <dlfcn.h>
+
+// ---------------------------------------------------------------------------
+// AES-128-CMAC via the system libcrypto, dlopen'd at runtime (the image
+// ships libcrypto.so.3 but no OpenSSL headers). This is the same approach
+// as the reference's detector (src/polarcode/errordetection/cmac.cpp:10-111
+// uses OpenSSL's CMAC/EVP engine); here the whole batch is MAC'd in one
+// native call so the per-block cost is AES-NI speed, not Python dispatch.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+typedef void CMAC_CTX_t;
+typedef void EVP_CIPHER_t;
+typedef CMAC_CTX_t* (*cmac_ctx_new_fn)(void);
+typedef void (*cmac_ctx_free_fn)(CMAC_CTX_t*);
+typedef int (*cmac_init_fn)(CMAC_CTX_t*, const void*, size_t,
+                            const EVP_CIPHER_t*, void*);
+typedef int (*cmac_update_fn)(CMAC_CTX_t*, const void*, size_t);
+typedef int (*cmac_final_fn)(CMAC_CTX_t*, unsigned char*, size_t*);
+typedef const EVP_CIPHER_t* (*evp_aes_128_cbc_fn)(void);
+
+struct Crypto {
+    void* handle = nullptr;
+    cmac_ctx_new_fn ctx_new = nullptr;
+    cmac_ctx_free_fn ctx_free = nullptr;
+    cmac_init_fn init = nullptr;
+    cmac_update_fn update = nullptr;
+    cmac_final_fn final_ = nullptr;
+    evp_aes_128_cbc_fn aes128cbc = nullptr;
+    bool ok = false;
+
+    Crypto()
+    {
+        const char* names[] = {"libcrypto.so.3", "libcrypto.so.1.1",
+                               "libcrypto.so"};
+        for (const char* n : names) {
+            handle = dlopen(n, RTLD_NOW | RTLD_LOCAL);
+            if (handle)
+                break;
+        }
+        if (!handle)
+            return;
+        ctx_new = (cmac_ctx_new_fn)dlsym(handle, "CMAC_CTX_new");
+        ctx_free = (cmac_ctx_free_fn)dlsym(handle, "CMAC_CTX_free");
+        init = (cmac_init_fn)dlsym(handle, "CMAC_Init");
+        update = (cmac_update_fn)dlsym(handle, "CMAC_Update");
+        final_ = (cmac_final_fn)dlsym(handle, "CMAC_Final");
+        aes128cbc = (evp_aes_128_cbc_fn)dlsym(handle, "EVP_aes_128_cbc");
+        ok = ctx_new && ctx_free && init && update && final_ && aes128cbc;
+    }
+};
+
+Crypto& crypto()
+{
+    static Crypto c;
+    return c;
+}
+
+} // namespace
+
+extern "C" {
+
+// 1 when the system libcrypto CMAC engine is usable from this library.
+int hc_cmac_available(void)
+{
+    return crypto().ok ? 1 : 0;
+}
+
+// Batched AES-128-CMAC: tags[r*16..] = CMAC(key, msgs[r*msg_bytes..]).
+// Returns 0 on success, -1 if libcrypto is unavailable, -2 on engine error.
+int hc_cmac_rows(const uint8_t* key,
+                 const uint8_t* msgs,
+                 size_t msg_bytes,
+                 size_t n_rows,
+                 uint8_t* tags)
+{
+    Crypto& c = crypto();
+    if (!c.ok)
+        return -1;
+    CMAC_CTX_t* ctx = c.ctx_new();
+    if (!ctx)
+        return -2;
+    const EVP_CIPHER_t* cipher = c.aes128cbc();
+    int rc = 0;
+    for (size_t r = 0; r < n_rows; ++r) {
+        size_t outl = 0;
+        if (c.init(ctx, key, 16, cipher, nullptr) != 1 ||
+            c.update(ctx, msgs + r * msg_bytes, msg_bytes) != 1 ||
+            c.final_(ctx, tags + 16 * r, &outl) != 1 || outl != 16) {
+            rc = -2;
+            break;
+        }
+    }
+    c.ctx_free(ctx);
+    return rc;
+}
+
+} // extern "C"
+
 extern "C" {
 
 // ---------------------------------------------------------------------------

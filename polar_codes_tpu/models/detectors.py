@@ -348,13 +348,32 @@ class CMAC(Detector):
 
     def compute_np(self, data_bits: np.ndarray) -> np.ndarray:
         data_bits = np.asarray(data_bits, dtype=np.uint8)
-        if len(data_bits) % 8:
-            raise ValueError("CMAC operates on whole bytes")
-        from ..utils.aes import aes_cmac
+        return self.tags_batch(data_bits[None, :])[0]
 
-        tag = aes_cmac(self._key, np.packbits(data_bits).tobytes())
-        tag_bits = np.unpackbits(np.frombuffer(tag, dtype=np.uint8))
-        return tag_bits[: self.tail_bits].astype(np.uint8)
+    def tags_batch(self, data_bits: np.ndarray) -> np.ndarray:
+        """[R, D] {0,1} data bits -> [R, tail_bits] tag bits.
+
+        Fast path: one native call for the whole batch through the system
+        libcrypto CMAC engine — the reference's own engine (cmac.cpp:10-111
+        drives OpenSSL EVP) — at AES-NI speed. Falls back to the
+        pure-Python RFC 4493 implementation (utils/aes.py) when the native
+        library or libcrypto is unavailable."""
+        data_bits = np.asarray(data_bits, dtype=np.uint8)
+        if data_bits.shape[-1] % 8:
+            raise ValueError("CMAC operates on whole bytes")
+        msgs = np.packbits(data_bits, axis=-1)
+        from ..utils import hostcodec
+
+        tags = hostcodec.cmac_rows(self._key, msgs)
+        if tags is None:
+            from ..utils.aes import aes_cmac
+
+            tags = np.stack([
+                np.frombuffer(aes_cmac(self._key, row.tobytes()), np.uint8)
+                for row in msgs
+            ])
+        tag_bits = np.unpackbits(tags, axis=-1)
+        return tag_bits[:, : self.tail_bits].astype(np.uint8)
 
     def generate(self, block_bits):
         """Batched tail fill via host callback (AES is not a device op; the
@@ -366,7 +385,9 @@ class CMAC(Detector):
         def host(arr):
             arr = np.asarray(arr, dtype=np.uint8)
             flat = arr.reshape(-1, arr.shape[-1])
-            out = np.stack([self.generate_np(row) for row in flat])
+            d = flat.shape[-1] - self.tail_bits
+            out = flat.copy()
+            out[:, d:] = self.tags_batch(flat[:, :d])
             return out.reshape(arr.shape)
 
         return jax.pure_callback(
@@ -382,7 +403,9 @@ class CMAC(Detector):
         def host(arr):
             arr = np.asarray(arr, dtype=np.uint8)
             flat = arr.reshape(-1, arr.shape[-1])
-            res = np.array([self.check_np(row) for row in flat], dtype=bool)
+            d = flat.shape[-1] - self.tail_bits
+            tags = self.tags_batch(flat[:, :d])
+            res = np.all(tags == flat[:, d:], axis=-1)
             return res.reshape(arr.shape[:-1])
 
         return jax.pure_callback(

@@ -516,6 +516,23 @@ class LargeSCLDecoder(SCLDecoder):
             schedule = "scan"
         if schedule not in ("tree", "scan"):
             raise ValueError(f"unknown schedule {schedule}")
+        # The unrolled tree's RATE1/SPC leaves use candidate-limited SSCL
+        # rules, i.e. it is inherently a fast_chunks-class approximation;
+        # honoring fast_chunks=False would silently hand back the
+        # approximate decoder. The scan schedule is the exact path.
+        if schedule == "tree" and not fast_chunks:
+            raise ValueError(
+                "schedule='tree' uses SSCL fast-leaf rules and cannot "
+                "honor fast_chunks=False; use schedule='scan' for the "
+                "exact per-bit decoder"
+            )
+        # int8 saturation parity is only qualified on the scan path; the
+        # tree path would silently fall back, so reject it up front.
+        if schedule == "tree" and jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+            raise ValueError(
+                "schedule='tree' does not support dtype=int8; use "
+                "schedule='scan' (the int8-qualified path)"
+            )
         self.schedule = schedule
         self._sched_tree = None
         self._chunk_kernel = None

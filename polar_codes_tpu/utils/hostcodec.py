@@ -71,6 +71,11 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_uint, ctypes.c_uint64, u64p,
     ]
     lib.hc_butterfly_rows.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t]
+    lib.hc_cmac_available.restype = ctypes.c_int
+    lib.hc_cmac_rows.argtypes = [
+        u8p, u8p, ctypes.c_size_t, ctypes.c_size_t, u8p
+    ]
+    lib.hc_cmac_rows.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -114,6 +119,35 @@ def crc32c_bytes(data: bytes, init: int = 0) -> int:
         return py_crc(data, init)
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     return int(lib.hc_crc32c_bytes(np.ascontiguousarray(buf), buf.size, init))
+
+
+def cmac_available() -> bool:
+    """True when the system libcrypto CMAC engine is reachable."""
+    lib = load()
+    return lib is not None and bool(lib.hc_cmac_available())
+
+
+def cmac_rows(key: bytes, msgs: np.ndarray) -> Optional[np.ndarray]:
+    """Batched AES-128-CMAC tags over [rows, msg_bytes] uint8 messages.
+
+    Returns [rows, 16] uint8 tags via the native libcrypto path (the
+    reference's own engine, cmac.cpp:10-111), or None when unavailable —
+    callers fall back to the pure-Python RFC 4493 implementation."""
+    lib = load()
+    if lib is None or not lib.hc_cmac_available():
+        return None
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    rows, msg_bytes = msgs.shape
+    key_arr = np.frombuffer(bytes(key), dtype=np.uint8)
+    if key_arr.size != 16:
+        raise ValueError("AES-128-CMAC needs a 16-byte key")
+    tags = np.empty((rows, 16), dtype=np.uint8)
+    rc = lib.hc_cmac_rows(
+        np.ascontiguousarray(key_arr), msgs, msg_bytes, rows, tags
+    )
+    if rc != 0:
+        return None
+    return tags
 
 
 def butterfly_rows(bits: np.ndarray) -> np.ndarray:

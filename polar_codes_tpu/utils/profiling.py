@@ -80,6 +80,14 @@ def derive_roofline(flops: float, nbytes: float,
         if peak:
             out["mfu"] = flops / seconds / peak[0]
             out["hbm_util"] = nbytes / seconds / peak[1]
+            # When the achieved ratio is well under BOTH roofs the kernel
+            # is limited by neither MXU issue rate nor HBM bandwidth —
+            # it is bound by on-chip dataflow (VMEM traffic, VPU serial
+            # chains, cross-lane shuffles). Reporting "memory" there (as
+            # pure arithmetic-intensity classification would) mislabels
+            # exactly the rows where further HBM optimization is useless.
+            if out["mfu"] < 0.5 and out["hbm_util"] < 0.5:
+                out["bound"] = "dataflow"
     return out
 
 
@@ -108,34 +116,46 @@ def roofline(fn: Callable, *args, seconds: Optional[float] = None,
     # so the hand-derived model takes over whenever the model runs a
     # pallas fast path — not just when the count is exactly zero.
     pallas_model = getattr(model, "backend", None) == "pallas"
+    fallback_reason = None
     if model is not None and batch and (flops <= 0.0 or pallas_model):
-        analytic = analytic_costs(model, batch)
+        try:
+            analytic = analytic_costs(model, batch)
+        except Exception as exc:  # formula bug: record, don't hide
+            analytic = None
+            fallback_reason = f"{type(exc).__name__}: {exc}"
         if analytic is not None:
             flops = analytic["flops"]
             nbytes = analytic["bytes_accessed"]
             source = "analytic"
     out = derive_roofline(flops, nbytes, seconds)
     out["cost_model"] = source
+    if fallback_reason is not None:
+        # A costmodel formula raised: the row falls back to the XLA
+        # glue-only counts (misleading for pallas rows) — say so rather
+        # than letting cost_model="xla" look intentional.
+        out["cost_model_fallback_reason"] = fallback_reason
     return out
 
 
 def analytic_costs(model, batch: int) -> Optional[dict]:
     """Dispatch to the hand-derived per-family count (utils/costmodel.py)
-    by model class; None when no formula exists."""
+    by model class; None when no formula exists for the class.
+
+    Formula errors propagate to the caller (roofline() records them as
+    cost_model_fallback_reason) instead of being swallowed — a silent
+    downgrade to XLA glue-only counts is the failure mode this module
+    exists to fix."""
     from . import costmodel
 
     name = type(model).__name__
-    try:
-        if name == "SCLDecoder":
-            return costmodel.scl_costs(model, batch)
-        if name == "FastSSCDecoder":
-            return costmodel.fastssc_costs(model, batch)
-        if name == "PolarEncoder":
-            return costmodel.encode_costs(model, batch)
-        if name in ("ScanDecoder", "FastSScanDecoder"):
-            return costmodel.scan_costs(model, batch)
-        if name in ("LargeSCDecoder", "LargeSCLDecoder"):
-            return costmodel.large_costs(model, batch)
-    except Exception:
-        return None
+    if name == "SCLDecoder":
+        return costmodel.scl_costs(model, batch)
+    if name == "FastSSCDecoder":
+        return costmodel.fastssc_costs(model, batch)
+    if name == "PolarEncoder":
+        return costmodel.encode_costs(model, batch)
+    if name in ("ScanDecoder", "FastSScanDecoder"):
+        return costmodel.scan_costs(model, batch)
+    if name in ("LargeSCDecoder", "LargeSCLDecoder"):
+        return costmodel.large_costs(model, batch)
     return None

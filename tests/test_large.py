@@ -410,3 +410,68 @@ class TestLargeSCL:
         cws, mets, act = dec.decode_paths(jnp.asarray(llr))
         assert np.asarray(cws).shape == (4, 4, n_len)
         assert bool(np.all(np.asarray(act)[:, 0]))
+
+    def test_unroll_invariance_many_chunks(self, rng):
+        """decode_paths must be identical across unroll values on a shape
+        with n_chunks > unroll (N=256, chunk=8 -> 32 chunks), exercising
+        the period==U and period>U dynamic branches of the statically
+        unrolled outer scan that production N hits (r4 advisor item)."""
+        n_len, k_len = 256, 140
+        frozen = frozen_bits(n_len, k_len, 0.0, "BB")
+        llr = rng.normal(0, 2, (4, n_len)).astype(np.float32)
+        ref_cw = ref_met = None
+        for unroll in (1, 4, 32):
+            dec = LargeSCLDecoder(
+                n_len, frozen, list_size=4, systematic=False, chunk=8,
+                unroll=unroll,
+            )
+            cws, mets, _ = dec.decode_paths(jnp.asarray(llr))
+            cws, mets = np.asarray(cws), np.asarray(mets)
+            if ref_cw is None:
+                ref_cw, ref_met = cws, mets
+            else:
+                np.testing.assert_array_equal(cws, ref_cw)
+                np.testing.assert_allclose(mets, ref_met, atol=1e-4)
+
+    def test_bf16_carry_matches_f32_decisions(self, rng):
+        """CPU regression pin for the bf16 LLR scan carry: at moderate
+        noise the bf16-carry decoder must make the same decisions as f32
+        carry (same winning codeword on every block, fixed seed). Guards
+        the carry_dtype=bf16 path the large-N benchmark rows ship."""
+        n_len, k_len = 1024, 512
+        frozen = frozen_bits(n_len, k_len, 2.0, "BB")
+        det = CRC16()
+        info = rng.integers(0, 2, (32, k_len), dtype=np.uint8)
+        from polar_codes_tpu.models.encoder import PolarEncoder
+
+        enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
+        cw = np.asarray(enc.encode(jnp.asarray(info)))
+        noise = rng.normal(0, 0.55, cw.shape)
+        llr = ((1.0 - 2.0 * cw) * 2 + noise).astype(np.float32)
+        outs = {}
+        for cd in (None, jnp.bfloat16):
+            dec = LargeSCLDecoder(
+                n_len, frozen, list_size=8, systematic=True, detector=det,
+                chunk=256, carry_dtype=cd,
+            )
+            info, codeword, ok = dec.decode(jnp.asarray(llr))
+            outs[cd] = (np.asarray(info), np.asarray(codeword),
+                        np.asarray(ok))
+        np.testing.assert_array_equal(outs[None][0], outs[jnp.bfloat16][0])
+        np.testing.assert_array_equal(outs[None][1], outs[jnp.bfloat16][1])
+        np.testing.assert_array_equal(outs[None][2], outs[jnp.bfloat16][2])
+        # and the decode is actually working at this SNR
+        assert outs[None][2].mean() > 0.8
+
+    def test_tree_schedule_rejects_exact_and_int8(self):
+        """Constructor gates (r4 advisor): schedule='tree' is inherently a
+        fast-leaf approximation and has no int8-qualified path — both
+        combos must fail loudly instead of silently substituting."""
+        n_len = 256
+        frozen = frozen_bits(n_len, 128, 0.0, "BB")
+        with pytest.raises(ValueError, match="fast_chunks"):
+            LargeSCLDecoder(n_len, frozen, list_size=4, schedule="tree",
+                            fast_chunks=False)
+        with pytest.raises(ValueError, match="int8"):
+            LargeSCLDecoder(n_len, frozen, list_size=4, schedule="tree",
+                            dtype=jnp.int8)

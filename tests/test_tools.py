@@ -172,7 +172,8 @@ class TestAnalysis:
         assert got == {"family": "cascl", "dtype": "pallas", "N": 1024,
                        "L": 8, "variant": "crc0"}
         got = tools.parse_bench_name("encode_n131072_crc16")
-        assert got["N"] == 131072 and got["family"] == "encode_n131072_crc16" or got["N"] == 131072
+        assert got == {"family": "encode", "dtype": "float", "N": 131072,
+                       "variant": "crc16"}
 
     def test_grid_jsonl_load_compare(self, tmp_path):
         import json as _json
