@@ -40,12 +40,13 @@ def main():
     frozen = frozen_bits(n_len, k_len, 0.0, "BB")
     det = CRC16()
     enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)
-    # backend="pallas": fused VMEM-resident subtree kernels — ~1.45x the
-    # XLA path on v5e 1-chip (BLER A/B-verified identical; BENCH_BACKEND=xla
-    # to measure the pure-XLA path)
+    # default constructor path: backend=None auto-selects the qualified
+    # fast path (pallas fused VMEM subtree kernels on TPU — BLER
+    # A/B-verified identical; utils/backend.py). BENCH_BACKEND=xla
+    # measures the pure-XLA path explicitly.
     dec = SCLDecoder(
         n_len, frozen, list_size=list_size, systematic=True, detector=det,
-        backend=os.environ.get("BENCH_BACKEND", "pallas"),
+        backend=os.environ.get("BENCH_BACKEND") or None,
     )
 
     # realistic noisy input at the 2 dB operating point

@@ -44,8 +44,11 @@ class AdaptiveDecoder:
         detector: Optional[Detector] = None,
         fast_dtype=jnp.float32,
         list_schedule: Optional[Sequence[int]] = None,
-        backend: str = "xla",
+        backend: Optional[str] = None,
     ):
+        # backend=None: each stage auto-selects its own qualified fast
+        # path (utils/backend.py) — the Fast-SSC prefilter and the SCL
+        # stages have different pallas envelopes
         # the adaptive scheme is meaningless without an error detector;
         # the reference attaches CRC32 by default (decoder.cpp makeDecoder)
         self.detector = detector if detector is not None else CRC32()

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..construction import frozen_bit_mask, info_indices
 from ..ops.butterfly import butterfly_transform, butterfly_transform_bipolar
 from .detectors import Detector, Dummy
+from ..utils.backend import resolve_backend
 
 
 class PolarEncoder:
@@ -38,7 +39,7 @@ class PolarEncoder:
         frozen_bit_positions: Sequence[int],
         systematic: bool = True,
         detector: Optional[Detector] = None,
-        backend: str = "xla",
+        backend: Optional[str] = None,
     ):
         n = block_length.bit_length() - 1
         if (1 << n) != block_length:
@@ -53,7 +54,10 @@ class PolarEncoder:
         self.detector = detector if detector is not None else Dummy()
         # backend="pallas": one VMEM-resident kernel runs ALL butterfly
         # stages of both systematic passes (ops/butterfly_kernel.py) — the
-        # XLA path round-trips [B, N] f32 through HBM every stage
+        # XLA path round-trips [B, N] f32 through HBM every stage; above
+        # N=2048 the MXU-factored GF(2) transform (bit-exact, to N=131072).
+        # backend=None auto-selects the fast path on TPU (utils/backend.py)
+        backend = resolve_backend(backend, "encode", block_length)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend

@@ -32,6 +32,7 @@ from ..ops.butterfly import butterfly_transform
 from .tree import CodeNode, NodeKind, build_tree
 from .detectors import Detector, Dummy
 from .encoder import PolarEncoder
+from ..utils.backend import resolve_backend
 
 
 def _sign(x):
@@ -52,7 +53,7 @@ class FastSSCDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         dtype=jnp.float32,
-        backend: str = "xla",
+        backend: Optional[str] = None,
     ):
         self.block_length = block_length
         self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
@@ -67,7 +68,10 @@ class FastSSCDecoder:
         )
         # backend="pallas": VMEM-resident subtree kernels
         # (ops/fastssc_kernel.py); int8/char runs its saturating ops on
-        # packed bf16 state (exact value parity — integer values)
+        # packed bf16 state (exact value parity — integer values).
+        # backend=None auto-selects the qualified fast path on TPU
+        # (utils/backend.py; reference factory parity, decoder.cpp:54-87).
+        backend = resolve_backend(backend, "fastssc", block_length)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend

@@ -73,6 +73,7 @@ from ..ops.fg import (
 )
 from .detectors import Detector, Dummy
 from .tree import CodeNode, NodeKind, build_tree
+from ..utils.backend import resolve_backend
 from .scl import (
     SCLDecoder,
     _NEG,
@@ -139,8 +140,12 @@ class LargeSCDecoder:
         dtype=jnp.float32,
         chunk: Optional[int] = None,
         fast_chunks: bool = True,
-        backend: str = "xla",
+        backend: Optional[str] = None,
     ):
+        # backend=None auto-selects pallas on TPU (utils/backend.py): the
+        # chunk kernel wins at every measured large-N shape (r4 grid:
+        # sc_scan 814 vs 286 Mbit/s at N=32768)
+        backend = resolve_backend(backend, "large", block_length)
         # Per-backend chunk default. pallas: 2048 is the measured sweet
         # spot on v5e (N=131072 B=128: 512 -> 16.2 ms, 1024 -> 11.7,
         # 2048 -> 10.4, 4096 -> 11.6; profiling/large_chunk_probe.py) —
@@ -456,7 +461,7 @@ class LargeSCLDecoder(SCLDecoder):
         dtype=jnp.float32,
         chunk: int = 256,
         fast_chunks: bool = True,
-        backend: str = "xla",
+        backend: Optional[str] = None,
         subblock: Optional[int] = 16,
         schedule: Optional[str] = None,
         unroll: int = 16,
@@ -498,7 +503,9 @@ class LargeSCLDecoder(SCLDecoder):
         self.fast_chunks = bool(fast_chunks)
         # backend="pallas": the mask-driven bitwise-SCL chunk runs as one
         # VMEM kernel per scan step (ops/large_kernel.py) instead of
-        # ~2*chunk tiny per-bit fork ops — the dominant dispatch train
+        # ~2*chunk tiny per-bit fork ops — the dominant dispatch train.
+        # backend=None auto-selects pallas on TPU (utils/backend.py)
+        backend = resolve_backend(backend, "large", block_length)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend

@@ -41,6 +41,7 @@ from ..construction import info_indices
 from ..ops.butterfly import butterfly_transform
 from ..ops.fg import f_minsum
 from .tree import CodeNode, NodeKind, build_tree
+from ..utils.backend import resolve_backend
 from .detectors import Detector, Dummy
 
 
@@ -58,7 +59,7 @@ class ScanDecoder:
         systematic: bool = True,
         detector: Optional[Detector] = None,
         iterations: int = 1,
-        backend: str = "xla",
+        backend: Optional[str] = None,
     ):
         self.block_length = block_length
         self.frozen = np.sort(np.asarray(frozen_bit_positions, dtype=np.int64))
@@ -72,7 +73,10 @@ class ScanDecoder:
         )
         self.dtype = jnp.float32
         # backend="pallas": all sweeps fused into one VMEM-resident kernel
-        # (ops/scan_kernel.py); the inter-sweep memory never touches HBM
+        # (ops/scan_kernel.py); the inter-sweep memory never touches HBM.
+        # backend=None resolves via utils/backend.py (measured a wash on
+        # TPU for scan, so auto stays "xla")
+        backend = resolve_backend(backend, "scan", block_length)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         if self.tree.kind != NodeKind.BRANCH:

@@ -47,6 +47,7 @@ from ..ops.fg import (
 )
 from .tree import CodeNode, NodeKind, build_tree
 from .detectors import Detector, Dummy
+from ..utils.backend import resolve_backend
 
 _NEG = -1.0e30  # metric of an inactive list slot
 _ACTIVE_THRESHOLD = -1.0e29
@@ -231,7 +232,7 @@ class SCLDecoder:
         enum_span: int = 16,
         max_enum_k: Optional[int] = None,
         layout: str = "batch_first",
-        backend: str = "xla",
+        backend: Optional[str] = None,
         pallas_tile: int = 128,
         pallas_span: Optional[int] = None,
     ):
@@ -290,11 +291,17 @@ class SCLDecoder:
             raise ValueError(f"unknown layout {layout}")
         self.layout = layout
         # backend="pallas": fused VMEM-resident subtree kernels
-        # (ops/scl_kernel_bl.py) — ~1.45x the XLA path at N=1024 L=8 on
-        # v5e (0.62 vs 0.90 ms/1024 blocks). float32/bfloat16 + batch_first
+        # (ops/scl_kernel_bl.py) — ~2x the XLA path at N=1024 L=8 on
+        # v5e. float32/bfloat16 + batch_first
         # only (bf16 packs the kernel state two-per-vreg-word);
         # falls back to XLA otherwise. Same candidate sets and tie order;
         # BLER statistically identical (A/B over 8192 blocks @1.5 dB).
+        # backend=None auto-selects the qualified fast path on TPU
+        # (utils/backend.py; reference factory parity, decoder.cpp:54-87).
+        requested_backend = backend
+        backend = resolve_backend(
+            backend, "scl", block_length, self.list_size
+        )
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend}")
         self.backend = backend
@@ -321,7 +328,7 @@ class SCLDecoder:
 
             self._sc = FastSSCDecoder(
                 block_length, self.frozen, systematic=True,
-                dtype=self.dtype, backend=backend,
+                dtype=self.dtype, backend=requested_backend,
             )
 
     # ---- dtype-generic arithmetic ----------------------------------------
@@ -897,6 +904,12 @@ class SCLDecoder:
         a_full, g0 = self._syn_cache
         return jnp.asarray(a_full), jnp.asarray(g0)
 
+    def _syn_cache_np(self):
+        """Host NumPy (A_full [N, tail], g0 [tail]) — the packed-tail path
+        bakes the per-column masks as trace constants."""
+        self._syndrome_consts()
+        return self._syn_cache
+
     def _decode_pallas_fast(self, llr):
         """decode() in the kernel-native [L, N, B] layout: CRC-aided
         selection contracts the per-path {0,1} int8 bits where they land
@@ -918,7 +931,39 @@ class SCLDecoder:
         n_list = self.list_size
         active = metrics > _ACTIVE_THRESHOLD
         use_syndrome = self.detector.tail_bits and self.detector._is_linear()
-        if use_syndrome:
+        # Bitplane tail (L <= 32): pack the L per-path bits into ONE i32
+        # word per (n, b) — one pass — then the GF(2) syndrome is
+        # tail_bits masked XOR-reductions over N (each i32 op carries all
+        # L paths at once) and codeword selection is a single variable
+        # shift. Replaces the int dot_general + (L-1)-pass select chain,
+        # ~0.9 ms of the 5.5 ms decode at L=32 (r5 tail probe).
+        packed = None
+        if bits.dtype == jnp.int8 and n_list <= 32:
+            packed = bits[0].astype(jnp.int32)
+            for k in range(1, n_list):
+                packed = packed | (bits[k].astype(jnp.int32) << k)
+        if use_syndrome and packed is not None:
+            a_full, g0 = self._syn_cache_np()
+            bad = jnp.zeros(packed.shape[-1], jnp.int32)  # [Bp]
+            for t in range(self.detector.tail_bits):
+                mask_t = jnp.asarray(a_full[:, t] != 0)
+                masked = jnp.where(mask_t[:, None], packed, 0)
+                s_t = jax.lax.reduce(
+                    masked, np.int32(0), jax.lax.bitwise_xor, (0,)
+                )  # [Bp]; bit l = parity of path l's checked positions
+                if int(g0[t]):  # expected parity 1: mismatch = ~parity
+                    s_t = ~s_t
+                bad = bad | s_t
+            ok_all = jnp.stack(
+                [(bad >> l) & 1 == 0 for l in range(n_list)], axis=-1
+            ) & active  # [Bp, L]
+            score = jnp.where(ok_all, metrics, _NEG)
+            best_ok = jnp.argmax(score, axis=-1)
+            best_ml = jnp.argmax(metrics, axis=-1)
+            any_ok = jnp.any(ok_all, axis=-1)
+            sel = jnp.where(any_ok, best_ok, best_ml)
+            detector_ok = any_ok
+        elif use_syndrome:
             a_full, g0 = self._syndrome_consts()
             dot = jax.lax.dot_general(
                 bits,
@@ -948,9 +993,12 @@ class SCLDecoder:
         else:
             sel = jnp.argmax(metrics, axis=-1)
             detector_ok = jnp.ones(sel.shape, dtype=bool)
-        bits_sel = bits[0]  # [N, Bp] int8; select chain over the list axis
-        for k in range(1, n_list):
-            bits_sel = jnp.where((sel == k)[None, :], bits[k], bits_sel)
+        if packed is not None:  # one variable shift selects the codeword
+            bits_sel = ((packed >> sel[None, :]) & 1).astype(jnp.int8)
+        else:  # select chain over the list axis
+            bits_sel = bits[0]  # [N, Bp] int8
+            for k in range(1, n_list):
+                bits_sel = jnp.where((sel == k)[None, :], bits[k], bits_sel)
         codeword = bits_sel.T.astype(jnp.uint8)  # [Bp, N]
         # info extraction as a one-hot MXU contraction (axis gather of
         # K static positions would lower to scalar index plumbing)

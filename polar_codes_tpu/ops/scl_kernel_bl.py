@@ -66,6 +66,31 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _oddeven_pairs(n: int):
+    """Batcher odd-even mergesort compare-exchange pairs (i < j) for n a
+    power of two. 1 pair at n=2, 5 at n=4, 19 at n=8, 63 at n=16."""
+
+    def merge(lo, hi, r):
+        step = r * 2
+        if step < hi - lo:
+            yield from merge(lo, hi, step)
+            yield from merge(lo + r, hi, step)
+            for i in range(lo + r, hi - r, step):
+                yield (i, i + r)
+        else:
+            yield (lo, lo + r)
+
+    def sort(lo, hi):
+        if hi - lo >= 1:
+            mid = lo + (hi - lo) // 2
+            yield from sort(lo, mid)
+            yield from sort(mid + 1, hi)
+            yield from merge(lo, hi, 1)
+
+    assert n & (n - 1) == 0, n
+    return list(sort(0, n - 1))
+
+
 def _rep0(x, c):
     """jnp.repeat(x, c, axis=0) as a static concat of slices (Mosaic-safe).
 
@@ -80,7 +105,9 @@ def _rep0(x, c):
 
 def _take_state(x, src):
     """Gather [w_in, S, B] state along the path axis by src [w_out, B]:
-    out[l] = x[src[l, b]] — a select chain (no gather op in Mosaic).
+    out[l] = x[src[l, b]] — a select chain (no gather op in Mosaic; an
+    O(w log w) hypercube pull network is NOT valid here: each partner
+    row's value reflects the partner's own src history, not this row's).
     src may also be a static ("rep", c) widening perm."""
     if src is None:
         return x
@@ -134,10 +161,15 @@ class _BlEmitter:
     so pruning order differs from f32 only by bf16 rounding of the state
     values themselves."""
 
-    def __init__(self, decoder, state_dtype=jnp.float32, bitplane=False):
+    def __init__(self, decoder, state_dtype=jnp.float32, bitplane=False,
+                 merge_prune=False):
         self.dec = decoder
         self.n_list = decoder.list_size
         self.sdt = jnp.dtype(state_dtype)
+        # merge_prune=True: top-L extraction via the sorted-heads merge
+        # (_prune_merge) instead of L iterative max-extract rounds over
+        # the full [C, w, B] candidate tensor. Identical extraction order.
+        self.merge_prune = bool(merge_prune)
         # bitplane=True: decision bits live as ONE i32 word per (span,
         # lane) with the path axis packed into bitplanes. Path-fork
         # gathers become w variable shifts (out_l = (word >> src[l]) & 1,
@@ -239,6 +271,13 @@ class _BlEmitter:
             )  # [w*C, B], l-major
             cand_id = _iota(new_metrics.shape, 0) % n_cand
             return new_metrics, ("rep", n_cand), cand_id
+        if self.merge_prune:
+            # bitonic needs pow2 fold/merge lengths; widths are products
+            # of pow2 candidate counts clamped at L, so the fallback only
+            # runs for non-pow2 list sizes
+            if width & (width - 1) == 0 and n_list & (n_list - 1) == 0:
+                return self._prune_bitonic(cand, n_cand, width)
+            return self._prune_merge(cand, n_cand, width)
         code = _iota(cand.shape, 1) * n_cand + _iota(cand.shape, 0)
         total = width * n_cand
         cur = cand
@@ -252,6 +291,143 @@ class _BlEmitter:
             cur = jnp.where(code == i[None, None, :], _NEG, cur)
         new_metrics = jnp.stack(vals, axis=0)  # [L, B]
         idx = jnp.stack(codes, axis=0)
+        return new_metrics, idx // n_cand, idx % n_cand
+
+    def _prune_merge(self, cand, n_cand, width):
+        """Sorted-heads merge extraction (the L>=16 extraction-floor fix).
+
+        Each path's C candidates are first sorted descending by
+        (value, flat-code-ascending) with a Batcher network — a unique
+        total order, so the result is the stable-descending order the
+        flat l*C+c tie rule needs. Top-L extraction is then an L-round
+        heads merge: take the max over the w per-path heads (smallest
+        flat code among ties — equivalent to the iterative rule, since
+        within a path the tied candidate with the smallest code IS the
+        head), then shift only the winning path's list down by one. Per
+        round: one [w, B] max + argmin and ONE masked-select pass over
+        [C, w, B], vs the iterative extraction's ~5 full [C, w, B]
+        passes (max, eq, where-code, min, mask) — the O(C*w) -> O(w)
+        reduction scoped in scl_avx_float.cpp:353-586 terms as the
+        sorted-candidate merge the reference's trackingSorter implies."""
+        n_list = self.n_list
+        total = width * n_cand
+        code = _iota(cand.shape, 1) * n_cand + _iota(cand.shape, 0)
+        vals = [cand[c] for c in range(n_cand)]  # each [w, B]
+        codes = [code[c] for c in range(n_cand)]
+        m = 1 << (n_cand - 1).bit_length()  # network size (pow2 pad)
+        for p in range(n_cand, m):
+            vals.append(jnp.full_like(vals[0], _NEG))
+            codes.append(jnp.full_like(codes[0], total + p))
+        for i, j in _oddeven_pairs(m):
+            vi, vj = vals[i], vals[j]
+            ci, cj = codes[i], codes[j]
+            swap = (vi < vj) | ((vi == vj) & (ci > cj))
+            vals[i] = jnp.where(swap, vj, vi)
+            vals[j] = jnp.where(swap, vi, vj)
+            codes[i] = jnp.where(swap, cj, ci)
+            codes[j] = jnp.where(swap, ci, cj)
+        s_val = jnp.stack(vals, axis=0)  # [C, w, B] descending per path
+        s_code = jnp.stack(codes, axis=0)
+        # exhausted-list sentinels: value _NEG (same floor the iterative
+        # mask uses), code `total` (loses every argmin to a real code)
+        sent_v = jnp.full_like(s_val[:1], _NEG)
+        sent_c = jnp.full_like(s_code[:1], total)
+        out_v, out_c = [], []
+        for _ in range(n_list):
+            h_v, h_c = s_val[0], s_code[0]  # [w, B] current heads
+            v = jnp.max(h_v, axis=0)  # [B]
+            i = jnp.min(jnp.where(h_v == v[None, :], h_c, total), axis=0)
+            out_v.append(v)
+            out_c.append(i)
+            win = (h_c == i[None, :])[None, :, :]  # [1, w, B]
+            s_val = jnp.where(
+                win, jnp.concatenate([s_val[1:], sent_v], axis=0), s_val
+            )
+            s_code = jnp.where(
+                win, jnp.concatenate([s_code[1:], sent_c], axis=0), s_code
+            )
+        new_metrics = jnp.stack(out_v, axis=0)  # [L, B]
+        # a sentinel can only be extracted in degenerate all-dead rounds
+        # (metrics at the _NEG floor); clamp so src/cand stay in range
+        idx = jnp.minimum(jnp.stack(out_c, axis=0), total - 1)
+        return new_metrics, idx // n_cand, idx % n_cand
+
+    @staticmethod
+    def _rev0(x):
+        """Static reverse along axis 0 (concat of row slices — no
+        lax.rev, which Mosaic may not lower)."""
+        return jnp.concatenate(
+            [x[i : i + 1] for i in reversed(range(x.shape[0]))], axis=0
+        )
+
+    @staticmethod
+    def _bitonic_layer(v, c, s):
+        """One descending bitonic-merge layer at stride s: within each
+        2s-row block, compare-exchange row i with row i+s keeping the
+        (value desc, code asc)-larger element at the low index."""
+        parts_v, parts_c = [], []
+        for i in range(0, v.shape[0], 2 * s):
+            vlo, vhi = v[i : i + s], v[i + s : i + 2 * s]
+            clo, chi = c[i : i + s], c[i + s : i + 2 * s]
+            swap = (vlo < vhi) | ((vlo == vhi) & (clo > chi))
+            parts_v += [jnp.where(swap, vhi, vlo),
+                        jnp.where(swap, vlo, vhi)]
+            parts_c += [jnp.where(swap, chi, clo),
+                        jnp.where(swap, clo, chi)]
+        return (jnp.concatenate(parts_v, axis=0),
+                jnp.concatenate(parts_c, axis=0))
+
+    def _prune_bitonic(self, cand, n_cand, width):
+        """Top-L extraction as a bitonic merge tree — the log-depth form
+        of the sorted-heads merge. Per-path candidate lists are sorted
+        descending by the (value, flat-code-ascending) total order
+        (Batcher network), then pairwise-merged along the path axis
+        (list i with list i + P/2 — static contiguous halves, no
+        strided slicing for Mosaic), truncating every merged pair to L:
+        top-L of truncated sorted prefixes is the global top-L. The
+        final list is the full descending (value, code) order, i.e.
+        EXACTLY the iterative-extraction / lax.top_k order, reached in
+        O(log w * log L) compare-exchange layers instead of L serial
+        max-extract rounds (each with cross-sublane reductions) — the
+        extraction depth at L=32 drops ~10x."""
+        n_list = self.n_list
+        total = width * n_cand
+        code = _iota(cand.shape, 1) * n_cand + _iota(cand.shape, 0)
+        vals = [cand[k] for k in range(n_cand)]  # each [w, B]
+        codes = [code[k] for k in range(n_cand)]
+        m = 1 << (n_cand - 1).bit_length()
+        for _ in range(n_cand, m):
+            vals.append(jnp.full_like(vals[0], _NEG))
+            codes.append(jnp.full_like(codes[0], total))
+        for i, j in _oddeven_pairs(m):
+            vi, vj = vals[i], vals[j]
+            ci, cj = codes[i], codes[j]
+            swap = (vi < vj) | ((vi == vj) & (ci > cj))
+            vals[i] = jnp.where(swap, vj, vi)
+            vals[j] = jnp.where(swap, vi, vj)
+            codes[i] = jnp.where(swap, cj, ci)
+            codes[j] = jnp.where(swap, ci, cj)
+        v = jnp.stack(vals, axis=0)  # [m, w, B] descending per path
+        c = jnp.stack(codes, axis=0)
+        while v.ndim == 3 and v.shape[1] > 1:
+            p_half = v.shape[1] // 2
+            # a descending ++ reversed(b descending) is bitonic
+            v = jnp.concatenate([v[:, :p_half], self._rev0(v[:, p_half:])],
+                                axis=0)
+            c = jnp.concatenate([c[:, :p_half], self._rev0(c[:, p_half:])],
+                                axis=0)
+            if p_half == 1:  # drop the path axis: [len, 1, B] vregs tile
+                v, c = v[:, 0], c[:, 0]  # (1, B) and waste 7/8 sublanes
+            s = v.shape[0] // 2
+            while s >= 1:
+                v, c = self._bitonic_layer(v, c, s)
+                s //= 2
+            if v.shape[0] > n_list:
+                v, c = v[:n_list], c[:n_list]
+        if v.ndim == 3:  # width == 1: single sorted list, no merging ran
+            v, c = v[:, 0], c[:, 0]
+        new_metrics = v[:n_list]
+        idx = jnp.minimum(c[:n_list], total - 1)
         return new_metrics, idx // n_cand, idx % n_cand
 
     # -- bitplane helpers ----------------------------------------------------
@@ -620,7 +796,8 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  kernel_span: int = 256,
                                  interpret: bool = False,
                                  state_dtype=jnp.float32,
-                                 bitplane=None):
+                                 bitplane=None,
+                                 merge_prune=None):
     """Pallas [w, S, B] subtree kernels + XLA glue above.
 
     Progressive list widening runs end-to-end: the decode starts at width 1
@@ -649,7 +826,16 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
             f"list_size={decoder.list_size} > 32 is not representable "
             f"(use bitplane=False)"
         )
-    emitter = _BlEmitter(decoder, state_dtype, bitplane=bitplane)
+    if merge_prune is None:
+        # measured v5e (N=1024 CRC16 B=1024, bitplane on, paired inputs,
+        # bitwise-identical outputs): the sorted-heads merge wins from
+        # L=8 up — L=8 0.434->0.397 ms (+9%), L=16 1.387->1.245 (+11%),
+        # L=32 5.81->5.53 (+5%). At L<=4 extraction barely runs
+        # (progressive widening covers most forks), so the sort-network
+        # overhead would be a small net loss there.
+        merge_prune = decoder.list_size >= 8
+    emitter = _BlEmitter(decoder, state_dtype, bitplane=bitplane,
+                         merge_prune=merge_prune)
     # widening kernels (w_in < w_out) SIGABRT the Mosaic compiler under a
     # bf16 state on real HW (profiling/kernel_profile.py ksplit: only the
     # leftmost w=1->L kernel fails; every construct probe passes alone).
@@ -658,7 +844,8 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
     # two-per-word bf16 state.
     emitter_f32 = (emitter if state_dtype == jnp.float32
                    else _BlEmitter(decoder, jnp.float32,
-                                   bitplane=bitplane))
+                                   bitplane=bitplane,
+                                   merge_prune=merge_prune))
     subtree_cache = {}
     subtree_info = []  # (node, w_in, w_out, call) — profiling introspection
 

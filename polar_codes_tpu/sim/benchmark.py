@@ -78,7 +78,8 @@ def enumerate_rows(quick: bool):
         rows.append(dict(kind="encode", N=n_len, K=n_len // 2,
                          C=16, L=0, dtype="pallas"))
 
-    dec_ns = [256, 1024] if quick else [64, 256, 1024, 4096, 8192]
+    dec_ns = ([256, 1024] if quick
+              else [64, 128, 256, 512, 1024, 2048, 4096, 8192])
     for n_len in dec_ns:
         for tag in ("float", "char"):
             rows.append(dict(kind="fastssc", N=n_len, K=n_len // 2,
@@ -123,17 +124,51 @@ def enumerate_rows(quick: bool):
                              dtype=tag, systematic=False))
         rows.append(dict(kind="cascl", N=1024, K=512, C=16, L=8,
                          dtype="float", dsnr=4.0))
+        # decode-N breadth: the reference crosses EVERY N in {64..8192}
+        # with its L grid (main_benchmark.cpp:371-503); L in {2,8} plus a
+        # char row fill the Ns the r4 grid skipped
+        for n_len in (64, 128, 512, 2048):
+            for list_size in (2, 8):
+                rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
+                                 C=16, L=list_size, dtype="float"))
+            rows.append(dict(kind="cascl", N=n_len, K=n_len // 2, C=16,
+                             L=8, dtype="char"))
+            if n_len >= 512:  # qualified pallas envelope starts at 256
+                rows.append(dict(kind="cascl", N=n_len, K=n_len // 2,
+                                 C=16, L=8, dtype="pallas"))
         # construction variant (the reference benchmarks BE separately:
         # main_benchmark.cpp:460 — the frozen set changes the specialized
-        # tree, so throughput differs from BB) and a rate sweep at the
-        # flagship shape (the reference sweeps K in {128..896})
+        # tree, so throughput differs from BB), across L and on the
+        # pallas arm (r4 had BE only at float L=8)
+        for list_size in (2, 8, 16, 32):
+            rows.append(dict(kind="cascl", N=1024, K=512, C=16,
+                             L=list_size, dtype="float", ctor="BE"))
         rows.append(dict(kind="cascl", N=1024, K=512, C=16, L=8,
-                         dtype="float", ctor="BE"))
+                         dtype="pallas", ctor="BE"))
         rows.append(dict(kind="fastssc", N=1024, K=512, C=0, L=1,
                          dtype="float", ctor="BE"))
+        # rate sweep: the reference sweeps K per N (:273-369); beyond the
+        # flagship-N sweep, cover a low and high rate at N=256/4096 and
+        # put the flagship K variants on the pallas arm too
         for k_len in (256, 768):
-            rows.append(dict(kind="cascl", N=1024, K=k_len, C=16, L=8,
-                             dtype="float"))
+            for tag in ("float", "pallas"):
+                rows.append(dict(kind="cascl", N=1024, K=k_len, C=16, L=8,
+                                 dtype=tag))
+        for n_len, ks in ((256, (64, 192)), (4096, (1024, 3072))):
+            for k_len in ks:
+                rows.append(dict(kind="cascl", N=n_len, K=k_len, C=16,
+                                 L=8, dtype="float"))
+        # pcsim "compareall" families (simulator.cpp:404-491): adaptive
+        # fast->SCL escalation, SCFlip depth-first, Fast-SSCAN — so every
+        # family PERF.md discusses has an artifact-backed row
+        for tag in ("float", "pallas"):
+            rows.append(dict(kind="adaptive", N=1024, K=512, C=16, L=8,
+                             dtype=tag))
+        rows.append(dict(kind="depthfirst", N=1024, K=512, C=16, L=8,
+                         dtype="float"))
+        for n_len in (256, 1024):
+            rows.append(dict(kind="fastsscan", N=n_len, K=n_len // 2,
+                             C=0, L=4, dtype="float"))
 
     for n_len in ([1024] if quick else [256, 1024]):
         rows.append(dict(kind="scan", N=n_len, K=n_len // 2, C=0, L=4,
@@ -153,6 +188,9 @@ def enumerate_rows(quick: bool):
         for tag in ("float", "pallas"):
             rows.append(dict(kind="cascl_scan", N=32768, K=16384,
                              C=16, L=8, dtype=tag))
+        # the design-scales claim measured: SCL at the largest encode N
+        rows.append(dict(kind="cascl_scan", N=131072, K=65536, C=16,
+                         L=8, dtype="pallas"))
     for row in rows:
         row["bench"] = row_name(row)
     return rows
@@ -195,6 +233,12 @@ def row_name(row):
         return f"cascl_{row['dtype']}_n{n_len}_l{row['L']}"
     if kind == "cascl_scan":
         return f"cascl_scan_{row['dtype']}_n{n_len}_l{row['L']}"
+    if kind == "adaptive":
+        return f"adaptive_{row['dtype']}_n{n_len}_l{row['L']}"
+    if kind == "depthfirst":
+        return f"depthfirst_n{n_len}_t{row['L']}"
+    if kind == "fastsscan":
+        return f"fastsscan_n{n_len}_i{row['L']}"
     if row["dtype"] == "pallas":
         return f"scan{row['L']}_pallas_n{n_len}"
     return f"scan{row['L']}_n{n_len}"
@@ -324,6 +368,76 @@ def run_row(row, batch_bits, out):
                                       unroll=(16 if pallas else 4),
                                       carry_dtype=(jnp.bfloat16 if pallas
                                                    else None))
+        elif kind == "adaptive":
+            # pcsim compareall family: realistic 2 dB input (the adaptive
+            # scheme's throughput IS its operating-point failure rate;
+            # synthetic noise would escalate every block). Timing is the
+            # device-true composite: fast pass at B plus each SCL stage
+            # rerun at the REAL bucket size the decode produced — the sum
+            # of the kernels the host-orchestrated decode launches.
+            from ..models.adaptive import AdaptiveDecoder
+            from ..dsp import bpsk_modulate, add_awgn
+
+            det = make_detector(row["C"], "crc")
+            backend = ("pallas" if row["dtype"].startswith("pallas")
+                       else "xla")
+            dec = AdaptiveDecoder(n_len, frozen, list_size=row["L"],
+                                  systematic=True, detector=det,
+                                  backend=backend)
+            enc2 = PolarEncoder(n_len, frozen, systematic=True,
+                                detector=det, backend="xla")
+            info_b = jnp.asarray(rng.integers(0, 2, (batch, k_len)),
+                                 jnp.uint8)
+            code = enc2.encode(info_b)
+            esn0 = 10.0 ** 0.2 * k_len / n_len
+            llr = jax.device_put(add_awgn(
+                jax.random.PRNGKey(2), bpsk_modulate(code),
+                esn0_linear=esn0))
+            secs = time_device_fn(lambda x: dec._fast_fn(x)[2], llr,
+                                  reps=8)
+            cur_ok = np.array(dec._fast_fn(llr)[2])  # writable copy
+            flat_np = np.asarray(llr)
+            for stage_fn in dec._stage_fns:
+                failed = np.nonzero(~cur_ok)[0]
+                if not failed.size:
+                    break
+                bucket = min(1 << int(failed.size - 1).bit_length(),
+                             batch)
+                idx = np.zeros(bucket, np.int32)
+                idx[: failed.size] = failed
+                sub = jax.device_put(flat_np[idx])
+                secs += time_device_fn(
+                    lambda x, f=stage_fn: f(x)[2], sub, reps=8
+                )
+                cur_ok[failed] = np.asarray(stage_fn(sub)[2])[
+                    : failed.size]
+            rec = dict(bench=row["bench"], N=n_len, K=k_len, C=row["C"],
+                       L=row["L"], dtype=row["dtype"], batch=batch,
+                       platform=platform, seconds_per_batch=secs,
+                       code_thr_mbps=batch * n_len / secs / 1e6,
+                       info_thr_mbps=batch * k_len / secs / 1e6,
+                       blocks_per_s=batch / secs,
+                       escalated_frac=float(
+                           (~np.asarray(dec._fast_fn(llr)[2])).mean()))
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if out:
+                out.write(line + "\n")
+                out.flush()
+            return
+        elif kind == "depthfirst":
+            from ..models.depthfirst import DepthFirstDecoder
+
+            dec = DepthFirstDecoder(
+                n_len, frozen, systematic=True,
+                detector=make_detector(row["C"], "crc"),
+                trial_limit=row["L"],
+            )
+        elif kind == "fastsscan":
+            from ..models.scan import FastSScanDecoder
+
+            dec = FastSScanDecoder(n_len, frozen, systematic=True,
+                                   iterations=row["L"])
         elif kind == "fastssc":
             backend = ("pallas" if row["dtype"].startswith("pallas")
                        else "xla")

@@ -105,7 +105,8 @@ def run(arm):
     from polar_codes_tpu.dsp import bpsk_modulate, add_awgn
     from polar_codes_tpu.utils.timing import time_device_fn
 
-    n_len, k_len, L = 1024, 512, 8
+    n_len, k_len = 1024, 512
+    L = int(os.environ.get("L", "8"))
     frozen = frozen_bits(n_len, k_len, 0.0, "BB")
     det = CRC16()
     enc = PolarEncoder(n_len, frozen, systematic=True, detector=det)

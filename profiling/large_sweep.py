@@ -26,14 +26,19 @@ def main():
     batches = [int(b) for b in sys.argv[3:]] or [16, 128]
     k_len = n_len // 2
     frozen = frozen_bits(n_len, k_len, 0.0, "BB")
-    chunks = [512, 2048] if kind == "sc" else [256, 1024]
+    chunks = ([512, 2048] if kind == "sc"
+              else [int(c) for c in _os.environ.get(
+                  "CHUNKS", "256,512").split(",")])
     for chunk in chunks:
         if kind == "sc":
             dec = LargeSCDecoder(n_len, frozen, systematic=True, chunk=chunk)
         else:
+            # r4 production configuration (sim/benchmark.py cascl_scan
+            # pallas row): bf16 stage-LLR carry, unroll=16
             dec = LargeSCLDecoder(n_len, frozen, list_size=8,
                                   systematic=True, detector=CRC16(),
-                                  chunk=chunk)
+                                  chunk=chunk, backend="pallas",
+                                  unroll=16, carry_dtype=jnp.bfloat16)
         for batch in batches:
             rng = np.random.default_rng(0)
             llr = jnp.asarray(rng.normal(0, 2, (batch, n_len)), jnp.float32)

@@ -223,14 +223,16 @@ class PolarDecoder:
     defaults follow Decoding::create (decoder.cpp:26-87)."""
 
     def __init__(self, blockLength, listSize, frozenBitPositions, decoderType,
-                 backend="xla"):
+                 backend=None):
         # `backend` is an extension beyond the pybind11 signature
         # (decoder_python.cc:20): "pallas" routes float SCL / Fast-SSC
         # decoding through the fused VMEM subtree kernels
-        # (ops/scl_kernel_bl.py, ops/fastssc_kernel.py), ~1.45x the XLA
-        # path on one TPU chip. Applies to the unrolled-tree decoders only
-        # (N <= the large-N threshold); the scan-over-schedule fallback for
-        # larger N ignores it. Positional drop-in calls are unaffected.
+        # (ops/scl_kernel_bl.py, ops/fastssc_kernel.py), ~2x the XLA
+        # path on one TPU chip. The default (None) auto-selects the
+        # qualified fast path per shape on TPU and the XLA path elsewhere
+        # (utils/backend.py) — the reference factory likewise hands out
+        # its fastest implementation by default (decoder.cpp:54-87).
+        # Positional drop-in calls are unaffected.
         self._n = int(blockLength)
         self._list = int(listSize)
         self._backend = backend
