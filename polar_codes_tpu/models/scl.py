@@ -619,10 +619,28 @@ class SCLDecoder:
         Select chain, not take_along_axis: dynamic gathers on TPU cost
         ~50-70us of scalar index plumbing per call regardless of payload
         (see _take_paths); L lane-wide selects fuse into the surrounding
-        elementwise ops."""
-        perm_t = perm.T  # [L, B]
+        elementwise ops.
+
+        At wide f32 payloads (w >= 16, w*S >= 8192 — the glue levels
+        above the kernel span) the gather instead runs as a batched
+        one-hot dot_general on the MXU ([w_out, w_in] x [w_in, S] per
+        batch lane, precision=HIGHEST so f32 payloads pass through
+        exactly): measured v5e, span 1024 B 1024, L=16 0.202 -> 0.100 ms,
+        L=32 0.912 -> 0.193 ms, bit-exact vs the chain."""
         n_list = x.shape[0]
-        out = jnp.broadcast_to(x[0:1], perm_t.shape[:1] + x.shape[1:])
+        w_out = perm.shape[-1]
+        if (n_list >= 16 and x.dtype == jnp.float32
+                and n_list * x.shape[1] >= 8192):
+            oh = (perm[:, :, None]
+                  == jnp.arange(n_list)[None, None, :]).astype(x.dtype)
+            out = jax.lax.dot_general(
+                oh, x,
+                (((2,), (0,)), ((0,), (2,))),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B, w_out, S]
+            return out.transpose(1, 2, 0)
+        perm_t = perm.T  # [L, B]
+        out = jnp.broadcast_to(x[0:1], (w_out,) + x.shape[1:])
         for k in range(1, n_list):
             out = jnp.where((perm_t == k)[:, None, :], x[k : k + 1], out)
         return out
@@ -927,21 +945,24 @@ class SCLDecoder:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, self.block_length), flat.dtype)]
             )
-        bits, metrics = fn.raw_bits(flat)  # [L, N, Bp] {0,1} int8, [Bp, L]
         n_list = self.list_size
+        # Bitplane tail (L <= 32): the kernels/glue already carry the L
+        # per-path bits as ONE i32 word per (n, b) (raw_packed); the
+        # GF(2) syndrome is then tail_bits masked XOR-reductions over N
+        # (each i32 op carries all L paths at once) and codeword
+        # selection is a single variable shift — replacing the int
+        # dot_general + (L-1)-pass select chain of the plane layout.
+        packed = bits = None
+        if getattr(fn, "raw_packed", None) is not None:
+            packed, metrics = fn.raw_packed(flat)  # [N, Bp] i32, [Bp, L]
+        else:
+            bits, metrics = fn.raw_bits(flat)  # [L, N, Bp] int8, [Bp, L]
+            if bits.dtype == jnp.int8 and n_list <= 32:
+                packed = bits[0].astype(jnp.int32)
+                for k in range(1, n_list):
+                    packed = packed | (bits[k].astype(jnp.int32) << k)
         active = metrics > _ACTIVE_THRESHOLD
         use_syndrome = self.detector.tail_bits and self.detector._is_linear()
-        # Bitplane tail (L <= 32): pack the L per-path bits into ONE i32
-        # word per (n, b) — one pass — then the GF(2) syndrome is
-        # tail_bits masked XOR-reductions over N (each i32 op carries all
-        # L paths at once) and codeword selection is a single variable
-        # shift. Replaces the int dot_general + (L-1)-pass select chain,
-        # ~0.9 ms of the 5.5 ms decode at L=32 (r5 tail probe).
-        packed = None
-        if bits.dtype == jnp.int8 and n_list <= 32:
-            packed = bits[0].astype(jnp.int32)
-            for k in range(1, n_list):
-                packed = packed | (bits[k].astype(jnp.int32) << k)
         if use_syndrome and packed is not None:
             a_full, g0 = self._syn_cache_np()
             bad = jnp.zeros(packed.shape[-1], jnp.int32)  # [Bp]
@@ -981,6 +1002,11 @@ class SCLDecoder:
             detector_ok = any_ok
         elif self.detector.tail_bits:  # non-affine detector (CMAC)
             info_pos = jnp.asarray(self.info_pos)
+            if bits is None:  # packed word: unpack for the host callback
+                bits = jnp.stack(
+                    [((packed >> l) & 1).astype(jnp.int8)
+                     for l in range(n_list)], axis=0,
+                )
             cw_u8 = bits.astype(jnp.uint8)
             info_all = cw_u8[:, info_pos, :].transpose(0, 2, 1)  # [L, B, K]
             ok_all = self.detector.check(info_all).T & active  # [Bp, L]

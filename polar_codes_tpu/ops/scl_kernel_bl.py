@@ -846,6 +846,13 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                    else _BlEmitter(decoder, jnp.float32,
                                    bitplane=bitplane,
                                    merge_prune=merge_prune))
+    # bitplane mode: decision bits flow through the ENTIRE hybrid — kernel
+    # outputs, glue combines/gathers, and the decode tail — as ONE packed
+    # [span, B] i32 word (plane l = path l). Kernel bits outputs shrink
+    # L-fold, glue combines are one XOR (vs w products), glue forks are w
+    # shift-ors (vs the w(w-1) select chain), and the CRC tail runs
+    # syndrome XOR-reductions + a single shift-select on the word.
+    packed_glue = emitter.bitplane
     subtree_cache = {}
     subtree_info = []  # (node, w_in, w_out, call) — profiling introspection
 
@@ -857,8 +864,13 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         w_out = _static_width(decoder, node, w_in)
         kdt = state_dtype if w_in == w_out else jnp.float32
         emit = emitter if kdt == state_dtype else emitter_f32
-        # bits dtype a kernel of this span emits (int8 at >= 32, else the
-        # emitter's state dtype — see _BlEmitter._BITS_I8_SPAN)
+        # bits dtype a kernel of this span emits. Bitplane mode emits the
+        # PACKED [span, B] i32 word itself — the glue then combines (one
+        # XOR), gathers (w shift-ors vs the w(w-1) select chain) and the
+        # decode tail (syndrome XOR-reductions, shift-select) all run on
+        # the word, and the kernel's bits output shrinks Lx (no unpack).
+        # Non-bitplane kernels keep {0,1} int8 at span >= 32 / bipolar
+        # state-dtype below (_BlEmitter._BITS_I8_SPAN).
         bdt = jnp.int8 if span >= _BlEmitter._BITS_I8_SPAN else kdt
 
         def kernel(llr_ref, metrics_ref, bits_ref, perm_ref, out_met_ref):
@@ -870,14 +882,7 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                 # pure widening inside this subtree: slot j sourced j // c
                 perm = _iota((w_out, batch_tile), 0) // perm[1]
             if emit.bitplane:
-                # ONE unpack of the packed bit word at the kernel
-                # boundary; the glue keeps its {0,1} int8 (or bipolar
-                # state-dtype below span 32) contract unchanged
-                planes = _BlEmitter._packed_planes(bits, w_out)
-                if bdt == jnp.int8:
-                    bits_ref[...] = planes.astype(jnp.int8)
-                else:
-                    bits_ref[...] = (1 - 2 * planes).astype(kdt)
+                bits_ref[...] = bits  # the packed [span, B] i32 word
             elif bdt == jnp.int8:
                 # ONE bipolar->{0,1}-int8 pass at the kernel boundary:
                 # the glue gathers/combines and the CRC selection then
@@ -893,10 +898,23 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
 
         def call(llr, metrics):
             """llr [w_in, span, B] state-dtype, metrics [B, w_in] ->
-            (bits [w_out, span, B] {0,1} int8, perm [B, w_out],
+            (bits: packed [span, B] i32 word in bitplane mode, else
+            [w_out, span, B] {0,1} int8; perm [B, w_out];
             metrics [B, w_out])."""
             n_batch = llr.shape[-1]
             grid = (n_batch // batch_tile,)
+            if packed_glue:
+                bits_spec = pl.BlockSpec((span, batch_tile),
+                                         lambda i: (0, i),
+                                         memory_space=pltpu.VMEM)
+                bits_shape = jax.ShapeDtypeStruct((span, n_batch),
+                                                  jnp.int32)
+            else:
+                bits_spec = pl.BlockSpec((w_out, span, batch_tile),
+                                         lambda i: (0, 0, i),
+                                         memory_space=pltpu.VMEM)
+                bits_shape = jax.ShapeDtypeStruct((w_out, span, n_batch),
+                                                  bdt)
             bits, perm, met = pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -908,22 +926,20 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((w_out, span, batch_tile),
-                                 lambda i: (0, 0, i),
-                                 memory_space=pltpu.VMEM),
+                    bits_spec,
                     pl.BlockSpec((batch_tile, w_out), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((batch_tile, w_out), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((w_out, span, n_batch), bdt),
+                    bits_shape,
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.int32),
                     jax.ShapeDtypeStruct((n_batch, w_out), jnp.float32),
                 ],
                 interpret=interpret,
             )(llr.astype(kdt), metrics)
-            if bdt != jnp.int8 and bdt != state_dtype:
+            if not packed_glue and bdt != jnp.int8 and bdt != state_dtype:
                 bits = bits.astype(state_dtype)  # narrow widening kernel
             return bits, perm, met
 
@@ -974,9 +990,20 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         )
         return llr, metrics
 
+    def glue_take_packed(word, perm, w_out):
+        """Path-fork gather on the packed [S, B] word in the XLA glue:
+        w_out shift-ors instead of the (w-1)-pass [w, S, B] select chain
+        — the glue analogue of the kernel's bitplane fork."""
+        if perm is None:
+            return word
+        if isinstance(perm, tuple):
+            return _BlEmitter._take_packed(word, perm, w_out)
+        return _BlEmitter._take_packed(word, perm.T, w_out)
+
     def xla_node(node: CodeNode, llr, metrics):
         """llr [w, span, B], metrics [B, w] — the decoder's batch_last
-        machinery for the wide levels; kernels below kernel_span."""
+        machinery for the wide levels; kernels below kernel_span. In
+        packed_glue mode decision bits are the [span, B] i32 word."""
         if node.length <= kernel_span:
             return subtree_call(node, llr.shape[0])(llr, metrics)
         if node.kind != NodeKind.BRANCH:
@@ -992,10 +1019,14 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                 bits, perm, metrics = getattr(
                     decoder, f"_bl_leaf_{node.kind.name.lower()}"
                 )(llr, metrics)
+            if packed_glue:
+                bits = _BlEmitter._pack01(
+                    _BlEmitter._to01(bits).astype(jnp.int32)
+                )
             # int8 only at spans >= 32 (matches the kernel/glue invariant;
             # a sub-32-span leaf above kernel_span keeps bipolar state so
             # its BRANCH siblings combine in one dtype)
-            if node.length >= _BlEmitter._BITS_I8_SPAN:
+            elif node.length >= _BlEmitter._BITS_I8_SPAN:
                 bits = _BlEmitter._to01(bits)
             else:
                 bits = bits.astype(state_dtype)
@@ -1005,15 +1036,32 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
         left_bits, p_left, metrics = xla_node(
             node.left, emitter.f_fn(a, b), metrics
         )
+        w_mid = metrics.shape[-1]
         if p_left is not None:
             llr_g = glue_take(llr, p_left)
             a, b = llr_g[:, :half], llr_g[:, half:]
-        right_bits, p_right, metrics = xla_node(
-            node.right, emitter.g_fn(a, b, left_bits), metrics
+        g_bits = (
+            emitter._packed_bipolar(left_bits, w_mid, a.dtype)
+            if packed_glue else left_bits
         )
+        right_bits, p_right, metrics = xla_node(
+            node.right, emitter.g_fn(a, b, g_bits), metrics
+        )
+        perm = glue_compose(p_left, p_right)
+        if packed_glue:
+            if p_right is not None:
+                left_bits = glue_take_packed(
+                    left_bits, p_right, metrics.shape[-1]
+                )
+            return (
+                jnp.concatenate(
+                    [left_bits ^ right_bits, right_bits], axis=0
+                ),
+                perm,
+                metrics,
+            )
         if p_right is not None:
             left_bits = glue_take(left_bits, p_right)
-        perm = glue_compose(p_left, p_right)
         if left_bits.dtype == jnp.int8:
             bits = jnp.concatenate(
                 [left_bits ^ right_bits, right_bits], axis=1
@@ -1026,11 +1074,43 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
                 bits = _BlEmitter._to01(bits)
         return bits, perm, metrics
 
+    def run_raw_packed(llr):
+        """llr [B, N] -> (packed codeword word [N, B] i32 — plane l =
+        path l's bit — and metrics [B, L]). Bitplane mode only; the
+        decode tail (syndrome XOR-reductions + shift-select) consumes
+        the word directly, so the [L, N, B] planes never materialize."""
+        if not packed_glue:
+            raise ValueError("raw_packed requires bitplane mode")
+        llr = llr.astype(state_dtype)
+        n_batch = llr.shape[0]
+        if n_batch % batch_tile:
+            raise ValueError(
+                f"batch {n_batch} not a multiple of tile {batch_tile}"
+            )
+        llr_l = llr.T[None, :, :]  # width 1: no [L, N, B] broadcast
+        metrics = jnp.zeros((n_batch, 1), dtype=jnp.float32)
+        word, _, metrics = xla_node(decoder.tree, llr_l, metrics)
+        width = metrics.shape[-1]
+        if width < n_list:
+            # degenerate tiny codes that never produce L candidates:
+            # missing planes are already 0 in the word
+            metrics = jnp.concatenate(
+                [metrics,
+                 jnp.full((n_batch, n_list - width), _NEG, jnp.float32)],
+                axis=-1,
+            )
+        return word, metrics
+
     def run_raw_bits(llr):
         """llr [B, N] -> (codeword bits [L, N, B] {0,1} int8 — the
-        kernel-native layout with NO relayout, at 1/4 the f32 HBM
-        traffic — and metrics [B, L]). The syndrome-matmul CRC selection
-        contracts the list/span axes directly."""
+        kernel-native layout with NO relayout — and metrics [B, L])."""
+        if packed_glue:
+            word, metrics = run_raw_packed(llr)
+            bits = jnp.stack(
+                [((word >> l) & 1).astype(jnp.int8)
+                 for l in range(n_list)], axis=0,
+            )
+            return bits, metrics
         llr = llr.astype(state_dtype)
         n_batch = llr.shape[0]
         if n_batch % batch_tile:
@@ -1071,5 +1151,6 @@ def build_bl_hybrid_decode_paths(decoder, batch_tile: int = 128,
 
     run.raw = run_raw
     run.raw_bits = run_raw_bits
+    run.raw_packed = run_raw_packed if packed_glue else None
     run.subtree_info = subtree_info
     return run
