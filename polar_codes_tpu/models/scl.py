@@ -957,7 +957,10 @@ class SCLDecoder:
             packed, metrics = fn.raw_packed(flat)  # [N, Bp] i32, [Bp, L]
         else:
             bits, metrics = fn.raw_bits(flat)  # [L, N, Bp] int8, [Bp, L]
-            if bits.dtype == jnp.int8 and n_list <= 32:
+            # at L < 8 the dense dot + short select chain beats the
+            # pack + per-tail-bit XOR-reductions (measured: n1024_l2
+            # pallas 4837 -> 4222 with the packed tail forced on)
+            if bits.dtype == jnp.int8 and 8 <= n_list <= 32:
                 packed = bits[0].astype(jnp.int32)
                 for k in range(1, n_list):
                     packed = packed | (bits[k].astype(jnp.int32) << k)

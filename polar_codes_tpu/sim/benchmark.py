@@ -284,6 +284,11 @@ def run_row(row, batch_bits, out):
     n_len, k_len = row["N"], row["K"]
     batch = bits_budget_batch(n_len, batch_bits)
     kind = row["kind"]
+    if kind == "cascl" and row.get("L", 0) >= 16:
+        # measured knee (v5e, N=1024): B=2048 at L>=16 runs ~12% slower
+        # than B=1024 — the [L, span, B] working set outgrows what the
+        # batch amortizes
+        batch = min(batch, 1024)
 
     if kind == "encode":
         det = (make_detector(row["C"], row.get("det", "crc"))
@@ -305,10 +310,7 @@ def run_row(row, batch_bits, out):
 
             bits_np = np.asarray(bits)
             t0 = _time.perf_counter()
-            tails = np.stack([
-                det.compute_np(b[: k_len - det.tail_bits])
-                for b in bits_np
-            ])
+            tails = det.tags_batch(bits_np[:, : k_len - det.tail_bits])
             host_secs = _time.perf_counter() - t0
             bits = jnp.asarray(
                 np.concatenate(
