@@ -33,11 +33,18 @@ def run_pair(n_len, total, chunk_blocks, ebn0_db=1.5):
     frozen = frozen_bits(n_len, k_len, 0.0, "BB")
     enc = PolarEncoder(n_len, frozen, systematic=True, detector=det,
                        backend="xla")
+    # backend: pallas is the shipped config, but the tunneled remote
+    # compiler hangs (>20 min, no error) on FRESH large-scan pallas
+    # modules (r5); the carry rounding under test is identical on the
+    # XLA chunk backend (the casts live in the scan carry, not the
+    # chunk kernels), so BACKEND=xla qualifies the same precision class
+    backend = os.environ.get("BACKEND", "pallas")
+    unroll = 16 if backend == "pallas" else 4
     decs = {}
     for name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
         decs[name] = LargeSCLDecoder(
             n_len, frozen, list_size=8, systematic=True, detector=det,
-            chunk=256, backend="pallas", unroll=16, carry_dtype=cd,
+            chunk=256, backend=backend, unroll=unroll, carry_dtype=cd,
         )
     esn0 = 10.0 ** (ebn0_db / 10.0) * k_len / n_len
     payload_len = k_len - det.tail_bits
