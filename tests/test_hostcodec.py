@@ -65,3 +65,32 @@ def test_pack_gather_scatter_roundtrip(rng):
     scattered = np.zeros((1, 64), np.uint8)
     lib.hc_scatter_bits(gathered, 32, 1, pos, 64, scattered)
     np.testing.assert_array_equal(scattered[0, pos], bits[pos])
+
+
+def test_cmac_rows_matches_rfc4493_and_python(rng):
+    """Native batched CMAC (libcrypto) == pure-Python RFC 4493, plus the
+    RFC's own AES-128 test vectors."""
+    from polar_codes_tpu.utils import hostcodec
+    from polar_codes_tpu.utils.aes import aes_cmac
+
+    if not hostcodec.cmac_available():
+        import pytest
+
+        pytest.skip("libcrypto CMAC engine unavailable")
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    vectors = [
+        ("", "bb1d6929e95937287fa37d129b756746"),
+        ("6bc1bee22e409f96e93d7e117393172a",
+         "070a16b46b4d4144f79bdd9dd04a287c"),
+        ("6bc1bee22e409f96e93d7e117393172aae2d8a571e03ac9c"
+         "9eb76fac45af8e5130c81c46a35ce411",
+         "dfa66747de9ae63030ca32611497c827"),
+    ]
+    for msg_hex, tag_hex in vectors[1:]:  # batched API needs equal rows
+        msgs = np.frombuffer(bytes.fromhex(msg_hex), np.uint8)[None, :]
+        tags = hostcodec.cmac_rows(key, msgs)
+        assert tags.tobytes().hex() == tag_hex
+    msgs = rng.integers(0, 256, (16, 62), dtype=np.uint8)
+    tags = hostcodec.cmac_rows(key, msgs)
+    for i in range(16):
+        assert tags[i].tobytes() == aes_cmac(key, msgs[i].tobytes())

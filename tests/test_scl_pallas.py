@@ -263,3 +263,49 @@ class TestBitplaneState:
             np.asarray(outs[False][1]), np.asarray(outs[True][1]),
             rtol=1e-6, atol=1e-6,
         )
+
+
+class TestPruneEquivalence:
+    """The three extraction implementations must produce the EXACT same
+    (metrics, src, cand) — value, order, and ties — since the pallas
+    decode's bit parity with the XLA path rests on it."""
+
+    def test_bitonic_and_merge_match_iterative(self):
+        from polar_codes_tpu.ops.scl_kernel_bl import _BlEmitter
+
+        class _Dec:
+            _int8 = False
+
+        rng = np.random.default_rng(42)
+        checked = 0
+        for n_list in (2, 4, 8, 16, 32):
+            for n_cand in (2, 3, 4, 8, 16):
+                for width in sorted({1, 2, max(n_list // 2, 1), n_list}):
+                    if width * n_cand <= n_list:
+                        continue  # widening branch: no extraction runs
+                    dec = _Dec()
+                    dec.list_size = n_list
+                    e_it = _BlEmitter(dec, merge_prune=False)
+                    e_mg = _BlEmitter(dec, merge_prune=True)
+                    n_b = 8
+                    metrics = rng.normal(0, 5, (width, n_b)).astype(
+                        np.float32)
+                    deltas = -np.abs(rng.normal(0, 3, (n_cand, width, n_b))
+                                     ).astype(np.float32)
+                    # force exact ties across candidates, paths, and a
+                    # zero-delta block (the tie rule is the contract)
+                    deltas[0] = deltas[-1]
+                    metrics[0] = metrics[-1]
+                    deltas[:, :, :4] = 0.0
+                    m1, s1, c1 = e_it._prune(jnp.asarray(metrics),
+                                             jnp.asarray(deltas))
+                    m2, s2, c2 = e_mg._prune(jnp.asarray(metrics),
+                                             jnp.asarray(deltas))
+                    np.testing.assert_array_equal(np.asarray(m1),
+                                                  np.asarray(m2))
+                    np.testing.assert_array_equal(np.asarray(s1),
+                                                  np.asarray(s2))
+                    np.testing.assert_array_equal(np.asarray(c1),
+                                                  np.asarray(c2))
+                    checked += 1
+        assert checked > 40
